@@ -1,0 +1,33 @@
+"""Declarative equation definitions (residual loss + sampler + ground truth).
+
+The reference duplicates its loss/trainer/evaluator per script (the heat loss
+alone is pasted four times: heat.py:50, optimize_heat_ray.py:32,
+batchsize_effect_heat.py:50, batchnorm_effect_heat.py:191). Here each equation
+is ONE declarative object consumed by the single jitted trainer in ``train``.
+"""
+
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
+from differential_equations_dnn_tpu.equations.simple_ode import SimpleODE
+from differential_equations_dnn_tpu.equations.heat import Heat1D
+from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
+from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
+from differential_equations_dnn_tpu.equations.uat import SineFit
+
+PROBLEMS = {
+    "simple_ode": SimpleODE,
+    "heat": Heat1D,
+    "fredholm": Fredholm2,
+    "fitzhugh_nagumo": FitzHughNagumo,
+    "uat": SineFit,
+}
+
+__all__ = [
+    "Problem",
+    "TrainDefaults",
+    "SimpleODE",
+    "Heat1D",
+    "Fredholm2",
+    "FitzHughNagumo",
+    "SineFit",
+    "PROBLEMS",
+]

@@ -1,0 +1,91 @@
+"""Problem protocol: what the trainer, sweeps, and CLI consume.
+
+A Problem bundles, for one differential/integral equation:
+
+* ``default_model()``      — the reference's network for this equation
+* ``sample(key, n)``       — one training batch of collocation data (pure,
+                             device-side; runs inside the jitted step)
+* ``loss(apply_fn, params, batch)``
+                           — the physics residual loss (pure)
+* ``grid_inputs(nodes)``   — flattened evaluation-grid inputs [M, d]
+* ``solution_shape(nodes)``— shape the evaluated grid reshapes to
+* ``exact(nodes)``         — analytic / classical-integrator ground truth
+* ``defaults``             — reference iteration budget / batch size / lr
+
+``evaluate`` is shared: one batched jitted forward over the whole grid
+(replacing the reference's per-point Python loops, e.g. heat.py:164-171) and
+``mae`` reproduces the reference's acceptance metric
+(sklearn.mean_absolute_error, heat.py:232).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class TrainDefaults:
+    iterations: int
+    batch_size: int
+    lrate: float = 1e-4
+    nodes: int = 40
+
+
+@dataclass(frozen=True)
+class Problem:
+    name: str = "problem"
+
+    # -- interface every equation implements --------------------------------
+    def default_model(self):
+        raise NotImplementedError
+
+    def sample(self, key, n):
+        raise NotImplementedError
+
+    def point_loss(self, apply_fn, params, batch):
+        """Per-collocation-point summed squared residuals, shape [B].
+
+        Every reference loss is the batch mean of a pointwise residual sum
+        (e.g. heat.py:95: ``mean(L_domain + L_init + L_boundary)``). Exposing
+        the pointwise vector lets the trainer mask it — which is how
+        population sweeps run *heterogeneous batch sizes* inside one vmapped
+        program (see sweep.search)."""
+        raise NotImplementedError
+
+    def loss(self, apply_fn, params, batch, mask=None):
+        """Scalar training loss: (masked) mean of ``point_loss``."""
+        r = self.point_loss(apply_fn, params, batch)
+        if mask is None:
+            return jnp.mean(r)
+        mask = mask.astype(r.dtype)
+        return jnp.sum(r * mask) / jnp.sum(mask)
+
+    def grid_inputs(self, nodes):
+        raise NotImplementedError
+
+    def solution_shape(self, nodes):
+        return (nodes,)
+
+    def exact(self, nodes):
+        raise NotImplementedError
+
+    # -- shared machinery ----------------------------------------------------
+    def evaluate(self, apply_fn, params, nodes):
+        """Evaluate the trained net on the problem's grid: ONE batched
+        forward, reshaped to the solution grid."""
+        inputs = self.grid_inputs(nodes)
+        y = jax.jit(apply_fn)(params, inputs)
+        return np.asarray(y).reshape(self.solution_shape(nodes))
+
+    def mae(self, apply_fn, params, nodes):
+        """Mean absolute error against the ground truth — the reference's
+        acceptance metric."""
+        approx = self.evaluate(apply_fn, params, nodes)
+        return float(np.mean(np.abs(self.exact(nodes) - approx)))
+
+
+def mse(x):
+    return jnp.mean(jnp.square(x))

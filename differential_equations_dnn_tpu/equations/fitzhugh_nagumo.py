@@ -1,0 +1,79 @@
+"""FitzHugh–Nagumo system on t ∈ [0, 30]:
+
+    dy/dt = y − y³/3 − w + I_ext
+    dw/dt = (y + α − β·w) / τ          I_ext=0.5, α=0.7, β=0.8, τ=2.5
+
+Reference: fitzhugh_nagumo.py — loss :53-97 (two residual means, one per
+component via separate reverse taps, plus IC mean, SUMMED — not mean-of-sum),
+sampling = 200-point linspace grid subsampled without replacement :124-131,
+ground truth scipy.integrate.odeint :231, defaults 150000 iters / batch 256 /
+lr 1e-4 / 50-node grid :181-183, DGM variant B 1→2 hidden 128 × 4 layers
+:211-214, IC y(0) = w(0) = 0.
+
+TPU design: ONE forward-mode jvp along t yields d/dt of BOTH components
+simultaneously (the reference pays two reverse taps, :74-84).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.integrate import odeint
+
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.models import DGM
+from differential_equations_dnn_tpu.ops import GridSubsample, time_jacobian
+
+
+def fzn_rhs(s, _t, i_ext=0.5, alpha=0.7, beta=0.8, tau=2.5):
+    """Classical RHS used for the odeint ground truth (fitzhugh_nagumo.py:38-50)."""
+    y, w = s
+    return np.array([y - y**3 / 3.0 - w + i_ext, (y + alpha - beta * w) / tau])
+
+
+@dataclass(frozen=True)
+class FitzHughNagumo(Problem):
+    name: str = "fitzhugh_nagumo"
+    i_ext: float = 0.5
+    alpha: float = 0.7
+    beta: float = 0.8
+    tau: float = 2.5
+    t_max: float = 30.0
+    grid_points: int = 200
+    y_ic: float = 0.0
+    defaults: TrainDefaults = field(
+        default_factory=lambda: TrainDefaults(iterations=150_000, batch_size=256, nodes=50)
+    )
+
+    def default_model(self):
+        return DGM(input_dim=1, output_dim=2, hidden_size=128, num_layers=4,
+                   activation="tanh", init_scheme="torch")
+
+    def sample(self, key, n):
+        sampler = GridSubsample(0.0, self.t_max, self.grid_points)
+        return {"t": sampler.sample(key, n), "t0": jnp.zeros((n, 1))}
+
+    def point_loss(self, apply_fn, params, batch):
+        t, t0 = batch["t"], batch["t0"]
+        s, dsdt = time_jacobian(lambda z: apply_fn(params, z), t)
+        y, w = s[:, :1], s[:, 1:]
+        dy, dw = dsdt[:, :1], dsdt[:, 1:]
+        # Residuals written as in the reference (fitzhugh_nagumo.py:93-94).
+        r_y = dy + (y**3 / 3.0 + w - self.i_ext - y)
+        r_w = dw + (self.beta * w - self.alpha - y) / self.tau
+        s0 = apply_fn(params, t0)
+        # Pointwise sum whose mean equals the reference's
+        # mse(r_y)+mse(r_w)+mse(s0−y_ic) (fitzhugh_nagumo.py:93-97).
+        ic = jnp.mean(jnp.square(s0 - self.y_ic), axis=1)
+        return jnp.square(r_y)[:, 0] + jnp.square(r_w)[:, 0] + ic
+
+    def grid_inputs(self, nodes):
+        return jnp.linspace(0.0, self.t_max, nodes)[:, None]
+
+    def solution_shape(self, nodes):
+        return (nodes, 2)
+
+    def exact(self, nodes):
+        t = np.linspace(0.0, self.t_max, nodes)
+        args = (self.i_ext, self.alpha, self.beta, self.tau)
+        return odeint(fzn_rhs, [self.y_ic, self.y_ic], t, args=args)

@@ -1,0 +1,75 @@
+"""Fredholm integral equation of the second kind:
+
+    y(x) = sin(x) + ∫₀^{π/2} sin(x)·cos(t)·y(t) dt,   exact y = 2·sin(x).
+
+Reference: fredholm.py — loss :47-74 runs a PYTHON LOOP of k=50 Monte-Carlo
+draws, each its own net forward (51 forwards per step); defaults 3000 iters /
+batch 32 / lr 1e-4 / 50-node grid :142-144; DGM variant A, hidden 32 :173;
+exact 2·sin(t) :40-44.
+
+TPU design: the k quadrature nodes become ONE batched forward of shape
+[n·k, 1] fused with the collocation forward — a single matmul chain instead of
+50 sequential launches. Monte-Carlo nodes (fresh per step, per collocation
+point — matching ``rand_like`` fredholm.py:66) are the parity default;
+``quadrature="gauss"`` switches to a deterministic Gauss–Legendre rule that
+needs far fewer nodes for this smooth separable kernel.
+"""
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.models import DGM
+from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
+
+
+@dataclass(frozen=True)
+class Fredholm2(Problem):
+    name: str = "fredholm"
+    upper: float = math.pi / 2.0
+    k: int = 50                      # quadrature nodes
+    quadrature: str = "montecarlo"   # "montecarlo" | "gauss"
+    defaults: TrainDefaults = field(
+        default_factory=lambda: TrainDefaults(iterations=3000, batch_size=32, nodes=50)
+    )
+
+    def default_model(self):
+        # Reference uses DGM variant A with hidden_size = batch_size = 32 and
+        # default relu gates (fredholm.py:173, neural_networks.py:146-147).
+        return DGM(input_dim=1, output_dim=1, hidden_size=32, num_layers=1,
+                   activation="relu", init_scheme="xavier_relu")
+
+    def sample(self, key, n):
+        kx, kq = jax.random.split(key)
+        x = self.upper * jax.random.uniform(kx, (n, 1))
+        if self.quadrature == "gauss":
+            nodes, weights = gauss_legendre_nodes(self.k, 0.0, self.upper)
+            tq = jnp.broadcast_to(nodes[None, :], (n, self.k))
+            wq = jnp.broadcast_to(weights[None, :], (n, self.k))
+        else:
+            # Fresh uniform nodes per collocation point per step
+            # (fredholm.py:66: rand_like(x) inside the k-loop).
+            tq = self.upper * jax.random.uniform(kq, (n, self.k))
+            wq = jnp.full((n, self.k), self.upper / self.k)
+        return {"x": x, "tq": tq, "wq": wq}
+
+    def point_loss(self, apply_fn, params, batch):
+        x, tq, wq = batch["x"], batch["tq"], batch["wq"]
+        n, k = tq.shape
+        # One fused forward over all collocation + quadrature points.
+        y_nodes = apply_fn(params, tq.reshape(n * k, 1)).reshape(n, k)
+        integral = jnp.sum(jnp.cos(tq) * y_nodes * wq, axis=1, keepdims=True)
+        integral = jnp.sin(x) * integral
+        yhat = apply_fn(params, x)
+        return jnp.square(yhat - jnp.sin(x) - integral)[:, 0]
+
+    def grid_inputs(self, nodes):
+        return jnp.linspace(0.0, self.upper, nodes)[:, None]
+
+    def exact(self, nodes):
+        t = np.linspace(0.0, self.upper, nodes)
+        return 2.0 * np.sin(t)

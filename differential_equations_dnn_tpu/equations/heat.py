@@ -1,0 +1,81 @@
+"""1-D heat equation:  u_t = κ·u_xx  on (x, t) ∈ [0, π] × [0, 3],
+u(x, 0) = sin x,  u(0, t) = u(π, t) = 0.
+
+Reference: heat.py — loss :50-95 (domain residual via two nested reverse-mode
+taps + IC + two Dirichlet BC terms, mean of the SUM of all four terms),
+sampling x~π·U, t~3·U :125-126, exact sin(x)·e^{−κt} :36-47, defaults 15000
+iters / batch 64 / lr 1e-4 / 40×40 grid :176-178, MLP 2→128×3→1 :181-184.
+
+TPU design: u, u_x, u_xx come from ONE jvp-over-jvp along e_x and u_t from one
+jvp along e_t — four batched forward-equivalents total, all fused by XLA into
+a single program with the Adam update (no per-step host sync). Input layout is
+[x, t] (axis 0 = space, axis 1 = time), matching heat.py:128.
+"""
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.models import MLP
+from differential_equations_dnn_tpu.ops import value_dt, value_dx_dxx
+
+
+@dataclass(frozen=True)
+class Heat1D(Problem):
+    name: str = "heat"
+    kappa: float = 1.0
+    x_max: float = math.pi
+    t_max: float = 3.0
+    defaults: TrainDefaults = field(
+        default_factory=lambda: TrainDefaults(iterations=15000, batch_size=64, nodes=40)
+    )
+
+    def default_model(self):
+        return MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
+                   activation="tanh")
+
+    def sample(self, key, n):
+        kx, kt = jax.random.split(key)
+        x = self.x_max * jax.random.uniform(kx, (n, 1))
+        t = self.t_max * jax.random.uniform(kt, (n, 1))
+        zeros = jnp.zeros((n, 1))
+        return {
+            "xt": jnp.concatenate([x, t], axis=1),       # interior
+            "x0": jnp.concatenate([x, zeros], axis=1),    # t = 0 (IC)
+            "xb1": jnp.concatenate([zeros, t], axis=1),   # x = 0 boundary
+            "xb2": jnp.concatenate([jnp.full((n, 1), self.x_max), t], axis=1),
+        }
+
+    def point_loss(self, apply_fn, params, batch):
+        f = lambda z: apply_fn(params, z)
+        # Domain residual: u_t − κ·u_xx.
+        _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
+        _, u_t = value_dt(f, batch["xt"], t_axis=1)
+        r_domain = u_t - self.kappa * u_xx
+        # Initial condition u(x, 0) = sin x.
+        r_init = f(batch["x0"]) - jnp.sin(batch["x0"][:, :1])
+        # Dirichlet boundaries u(0, t) = u(π, t) = 0.
+        r_b1 = f(batch["xb1"])
+        r_b2 = f(batch["xb2"])
+        # Reference takes the mean of the summed squares (heat.py:95).
+        return (jnp.square(r_domain) + jnp.square(r_init)
+                + jnp.square(r_b1) + jnp.square(r_b2))[:, 0]
+
+    def grid_inputs(self, nodes):
+        # Grid rows = time, cols = space (heat.py:152-166: sol[i_t, j_x]).
+        t = jnp.linspace(0.0, self.t_max, nodes)
+        x = jnp.linspace(0.0, self.x_max, nodes)
+        tt, xx = jnp.meshgrid(t, x, indexing="ij")
+        return jnp.stack([xx.ravel(), tt.ravel()], axis=1)
+
+    def solution_shape(self, nodes):
+        return (nodes, nodes)
+
+    def exact(self, nodes):
+        t = np.linspace(0.0, self.t_max, nodes)
+        x = np.linspace(0.0, self.x_max, nodes)
+        return np.sin(x)[None, :] * np.exp(-self.kappa * t)[:, None]

@@ -1,0 +1,38 @@
+"""Hyperparameter search and ablation studies, TPU-native.
+
+Replaces the reference's Ray Tune driver (optimize_heat_ray.py: Optuna search
++ ASHA over 10 trials, ≤5 concurrent processes) with vmapped population
+training sharded over the device mesh, and the batch-size / batch-norm
+ablation scripts (batchsize_effect_heat.py, batchnorm_effect_heat.py) with
+population configs — including fixes for the reference's sweep bugs (the
+swept batch size was never actually passed, batchsize_effect_heat.py:197, and
+nets were reused across runs without re-init, :180-199).
+"""
+
+from differential_equations_dnn_tpu.sweep.search import (
+    SearchSpace,
+    loguniform,
+    randint,
+    uniform,
+    choice,
+    random_search,
+    successive_halving,
+    SweepResult,
+)
+from differential_equations_dnn_tpu.sweep.ablations import (
+    batch_size_effect,
+    batchnorm_effect,
+)
+
+__all__ = [
+    "SearchSpace",
+    "loguniform",
+    "randint",
+    "uniform",
+    "choice",
+    "random_search",
+    "successive_halving",
+    "SweepResult",
+    "batch_size_effect",
+    "batchnorm_effect",
+]

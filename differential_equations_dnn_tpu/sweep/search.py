@@ -1,0 +1,234 @@
+"""Population hyperparameter search.
+
+Mirrors the reference search space (optimize_heat_ray.py:173-176:
+``batch_size ~ randint[1,512)``, ``n_iters ~ randint[1000,50000)``,
+``lrate ~ loguniform[1e-4,1e-1]``) and its metric (final training loss,
+:157), but executes ALL trials as one vmapped program:
+
+* learning rate   — vmapped scalar per trial
+* batch size      — mask over a shared max_batch_size (equations.base)
+* n_iters         — every trial runs to the max budget in lock-step; a
+                    trial's score is read from the loss history at ITS OWN
+                    budget (losses[n_iters_i − 1, i]), so shorter-budget
+                    trials are scored exactly as if they had stopped early.
+
+``successive_halving`` is the ASHA role (optimize_heat_ray.py:181): rungs on
+the host, survivors re-entered via ``parallel.take_trials`` — at most one
+[P]-scalar device→host fetch per rung.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.parallel.population import (
+    PopulationConfig,
+    train_population,
+    take_trials,
+)
+
+
+# ---- search-space primitives (Ray-Tune-style) -------------------------------
+
+@dataclass(frozen=True)
+class loguniform:
+    low: float
+    high: float
+
+    def sample(self, rng, n):
+        return np.exp(rng.uniform(np.log(self.low), np.log(self.high), n))
+
+
+@dataclass(frozen=True)
+class uniform:
+    low: float
+    high: float
+
+    def sample(self, rng, n):
+        return rng.uniform(self.low, self.high, n)
+
+
+@dataclass(frozen=True)
+class randint:
+    low: int
+    high: int  # exclusive, like ray.tune.randint
+
+    def sample(self, rng, n):
+        return rng.integers(self.low, self.high, n)
+
+
+@dataclass(frozen=True)
+class choice:
+    values: tuple
+
+    def sample(self, rng, n):
+        return np.asarray(self.values)[rng.integers(0, len(self.values), n)]
+
+
+@dataclass(frozen=True)
+class SearchSpace:
+    """Named distributions; ``sample(seed, n)`` draws a dict of [n] arrays."""
+
+    specs: dict
+
+    def sample(self, seed: int, n: int) -> dict:
+        rng = np.random.default_rng(seed)
+        return {name: spec.sample(rng, n) for name, spec in self.specs.items()}
+
+
+def heat_search_space() -> SearchSpace:
+    """The reference's exact space (optimize_heat_ray.py:173-176)."""
+    return SearchSpace({
+        "batch_size": randint(1, 512),
+        "n_iters": randint(1000, 50_000),
+        "lrate": loguniform(1e-4, 1e-1),
+    })
+
+
+# ---- results ----------------------------------------------------------------
+
+@dataclass
+class SweepResult:
+    configs: list            # list of per-trial config dicts
+    scores: np.ndarray       # [P] final losses (at each trial's own budget)
+    losses: np.ndarray | None  # [iters, P] full loss curves (None if dropped)
+    params: Any              # stacked trained params (see param_indices)
+    param_indices: np.ndarray | None = None  # trial ids the params stack holds
+    best_index: int = field(init=False)
+
+    def __post_init__(self):
+        finite = np.where(np.isfinite(self.scores), self.scores, np.inf)
+        if self.param_indices is not None:
+            # Only trials still holding params (e.g. halving survivors) are
+            # eligible — their scores are also the fully-trained ones.
+            eligible = np.full_like(finite, np.inf)
+            eligible[self.param_indices] = finite[self.param_indices]
+            finite = eligible
+        self.best_index = int(np.argmin(finite))
+
+    @property
+    def best_config(self) -> dict:
+        return self.configs[self.best_index]
+
+    @property
+    def best_score(self) -> float:
+        return float(self.scores[self.best_index])
+
+    def best_params(self):
+        """Trained params of the best trial (leading axis of size 1 removed)."""
+        if self.param_indices is None:
+            pos = self.best_index
+        else:
+            pos = int(np.where(self.param_indices == self.best_index)[0][0])
+        return take_trials(self.params, np.array([pos]))
+
+
+# ---- random search (the reference's 10-sample Optuna run) -------------------
+
+def random_search(problem, key, num_samples: int = 10, space: SearchSpace | None = None,
+                  model=None, seed: int = 0, mesh=None, max_batch_size: int = 512,
+                  max_iters: int | None = None, chunk_size: int = 1000) -> SweepResult:
+    """Sample ``num_samples`` configs and train them all as one population.
+
+    Scores each trial by its final-loss-at-own-budget, minimised — the
+    reference's metric (optimize_heat_ray.py:157,196)."""
+    space = space or heat_search_space()
+    model = model or problem.default_model()
+    draws = space.sample(seed, num_samples)
+
+    lrates = np.asarray(draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
+                        dtype=np.float32)
+    batch_sizes = np.asarray(
+        draws.get("batch_size", np.full(num_samples, problem.defaults.batch_size)),
+        dtype=np.int32,
+    )
+    n_iters = np.asarray(
+        draws.get("n_iters", np.full(num_samples, problem.defaults.iterations)),
+        dtype=np.int64,
+    )
+    budget = int(max_iters if max_iters is not None else n_iters.max())
+    n_iters = np.minimum(n_iters, budget)
+    batch_sizes = np.minimum(batch_sizes, max_batch_size)
+
+    config = PopulationConfig(iterations=budget, max_batch_size=max_batch_size,
+                              chunk_size=chunk_size)
+    params, _, losses = train_population(
+        problem, model, key, jnp.asarray(lrates), jnp.asarray(batch_sizes),
+        config=config, mesh=mesh,
+    )
+    scores = losses[n_iters - 1, np.arange(num_samples)]
+    configs = [
+        {"batch_size": int(b), "n_iters": int(i), "lrate": float(l)}
+        for b, i, l in zip(batch_sizes, n_iters, lrates)
+    ]
+    return SweepResult(configs=configs, scores=scores, losses=losses, params=params)
+
+
+# ---- successive halving (ASHA role) ------------------------------------------
+
+def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace | None = None,
+                       model=None, seed: int = 0, mesh=None, eta: int = 3,
+                       min_budget: int = 500, max_budget: int | None = None,
+                       max_batch_size: int = 512, chunk_size: int = 500) -> SweepResult:
+    """Synchronous successive halving: train the whole population for the
+    rung budget, keep the best 1/eta, continue the survivors (with their
+    optimizer state) at eta× the budget. Replaces ASHA
+    (optimize_heat_ray.py:181) without any worker processes — the reference's
+    scheduler was inert anyway since trials reported once (SURVEY §3.5)."""
+    space = space or heat_search_space()
+    model = model or problem.default_model()
+    draws = space.sample(seed, num_samples)
+
+    lrates = jnp.asarray(draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
+                         dtype=jnp.float32)
+    batch_sizes = jnp.asarray(
+        np.minimum(
+            draws.get("batch_size", np.full(num_samples, problem.defaults.batch_size)),
+            max_batch_size,
+        ),
+        dtype=jnp.int32,
+    )
+    max_budget = int(max_budget or problem.defaults.iterations)
+
+    alive = np.arange(num_samples)
+    params = opt_state = None
+    budget = int(min_budget)
+    spent = 0
+    last_scores = np.zeros(num_samples)
+    total_losses = []
+
+    while True:
+        config = PopulationConfig(iterations=budget - spent,
+                                  max_batch_size=max_batch_size,
+                                  chunk_size=chunk_size)
+        params, opt_state, losses = train_population(
+            problem, model, jax.random.fold_in(key, spent),
+            lrates[alive], batch_sizes[alive],
+            config=config, mesh=mesh, params=params, opt_state=opt_state,
+        )
+        total_losses.append(losses)
+        rung_scores = losses[-1]
+        last_scores[alive] = rung_scores
+        spent = budget
+        if budget >= max_budget or len(alive) <= 1:
+            break
+        keep = max(1, len(alive) // eta)
+        order = np.argsort(np.where(np.isfinite(rung_scores), rung_scores, np.inf))
+        survivors = order[:keep]
+        alive = alive[survivors]
+        params = take_trials(params, survivors)
+        opt_state = take_trials(opt_state, survivors)
+        budget = min(budget * eta, max_budget)
+
+    configs = [
+        {"batch_size": int(batch_sizes[i]), "lrate": float(lrates[i]),
+         "n_iters": spent if i in alive else None}
+        for i in range(num_samples)
+    ]
+    # Non-survivors keep their last rung score; survivors their final score.
+    return SweepResult(configs=configs, scores=np.asarray(last_scores),
+                       losses=None, params=params, param_indices=alive)

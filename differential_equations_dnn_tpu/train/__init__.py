@@ -1,0 +1,24 @@
+"""Training: one jitted Adam trainer for every equation, metrics, checkpoints."""
+
+from differential_equations_dnn_tpu.train.trainer import (
+    TrainConfig,
+    TrainResult,
+    train,
+    make_train_step,
+)
+from differential_equations_dnn_tpu.train.metrics import mean_absolute_error, l2_error
+from differential_equations_dnn_tpu.train.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+)
+
+__all__ = [
+    "TrainConfig",
+    "TrainResult",
+    "train",
+    "make_train_step",
+    "mean_absolute_error",
+    "l2_error",
+    "save_checkpoint",
+    "restore_checkpoint",
+]

@@ -1,17 +1,14 @@
-"""Test configuration: force an 8-device CPU platform BEFORE jax initialises,
-so sharding/mesh logic is exercised without TPU hardware (SURVEY §4)."""
+"""Test configuration: force an 8-device CPU platform BEFORE any computation,
+so sharding/mesh logic is exercised without TPU hardware (SURVEY §4).
 
-import os
+Note: env vars (JAX_PLATFORMS / XLA_FLAGS) are overridden by the axon
+sitecustomize in this image — ``jax.config.update`` is authoritative."""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+import pytest
 
-import jax  # noqa: E402
-
-import pytest  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compile cache: test wall-time is compile-dominated.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

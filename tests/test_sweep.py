@@ -1,0 +1,86 @@
+"""Sweep tests: random search, successive halving, ablations (tiny budgets)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations import SimpleODE, Heat1D
+from differential_equations_dnn_tpu.sweep import (
+    SearchSpace,
+    loguniform,
+    randint,
+    choice,
+    uniform,
+    random_search,
+    successive_halving,
+    batch_size_effect,
+    batchnorm_effect,
+)
+
+
+def test_search_space_sampling():
+    space = SearchSpace({
+        "lrate": loguniform(1e-4, 1e-1),
+        "batch_size": randint(1, 512),
+        "width": choice((32, 64, 128)),
+        "momentum": uniform(0.8, 0.99),
+    })
+    draws = space.sample(seed=0, n=100)
+    assert (draws["lrate"] >= 1e-4).all() and (draws["lrate"] <= 1e-1).all()
+    assert (draws["batch_size"] >= 1).all() and (draws["batch_size"] < 512).all()
+    assert set(np.unique(draws["width"])) <= {32, 64, 128}
+    # Deterministic per seed.
+    again = space.sample(seed=0, n=100)
+    np.testing.assert_array_equal(draws["lrate"], again["lrate"])
+
+
+def test_random_search_picks_reasonable_trial(key):
+    prob = SimpleODE()
+    space = SearchSpace({
+        "lrate": loguniform(1e-5, 1e-2),
+        "batch_size": randint(8, 64),
+        "n_iters": randint(100, 400),
+    })
+    result = random_search(prob, key, num_samples=6, space=space,
+                           max_batch_size=64, chunk_size=200)
+    assert len(result.configs) == 6
+    assert result.scores.shape == (6,)
+    assert np.isfinite(result.best_score)
+    assert result.best_config["lrate"] >= 1e-5
+    # Best params extractable and usable.
+    best = result.best_params()
+    model = prob.default_model()
+    single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
+    mae = prob.mae(model.apply, single, nodes=10)
+    assert np.isfinite(mae)
+
+
+def test_successive_halving_shrinks_population(key):
+    prob = SimpleODE()
+    space = SearchSpace({"lrate": loguniform(1e-5, 1e-2),
+                         "batch_size": randint(8, 32)})
+    result = successive_halving(prob, key, num_samples=9, space=space, eta=3,
+                                min_budget=50, max_budget=450,
+                                max_batch_size=32, chunk_size=150)
+    assert len(result.param_indices) <= 3
+    assert np.isfinite(result.best_score)
+    assert result.best_index in result.param_indices
+
+
+def test_batch_size_effect_tiny(key):
+    res = batch_size_effect(key=key, batch_sizes=[4, 16], runs=2,
+                            iterations=60, chunk_size=60)
+    assert res.mean_losses.shape == (2, 60)
+    assert res.all_losses.shape == (2, 2, 60)
+    assert np.isfinite(res.mean_losses).all()
+    assert set(res.as_dict()) == {"4", "16"}
+
+
+def test_batchnorm_effect_tiny(key):
+    res = batchnorm_effect(key=key, runs=2, iterations=40, batch_size=16,
+                           hidden_size=16, num_layers=1, chunk_size=40)
+    assert res.labels == ["none", "pre", "post"]
+    assert res.mean_losses.shape == (3, 40)
+    assert np.isfinite(res.mean_losses).all()

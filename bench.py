@@ -1,0 +1,68 @@
+"""Headline benchmark: heat-equation training throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Metric: jitted train-step throughput (iters/sec, steady-state, compile
+excluded) for the reference heat config — MLP 2→128×3→1, batch 64, lr 1e-4
+(heat.py:176-184) — with the solution MAE vs sin(x)e^{-t} reported alongside
+to prove the speed is of a *converging* configuration.
+
+Baseline: the reference implementation (torch, heat.py:minimize_loss_dgm)
+measured on this image's CPU at the same config: 203.0 iters/sec
+(500-iteration timed run after 50-iteration warmup, 2026-08-16; the reference
+publishes no throughput numbers — SURVEY §6). The reference paper's hardware
+was an RTX 3060 workstation; no GPU is available here to re-measure.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+REFERENCE_CPU_ITERS_PER_SEC = 203.0  # measured: see module docstring
+REFERENCE_HEAT_MAE = 0.0529          # primer PDF / BASELINE.md
+
+
+def main():
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    problem = Heat1D()
+    model = problem.default_model()
+
+    # Steady-state measurement: the full reference budget (15k iters) in
+    # large chunks; compile time is measured separately by the trainer.
+    config = TrainConfig(iterations=15_000, batch_size=64, lrate=1e-4,
+                         chunk_size=5_000, verbose=False)
+    result = train(problem, jax.random.key(42), config)
+    mae = problem.mae(model.apply, result.params, nodes=40)
+
+    value = result.iters_per_sec
+    out = {
+        "metric": "heat_train_iters_per_sec",
+        "value": round(value, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(value / REFERENCE_CPU_ITERS_PER_SEC, 2),
+        "extras": {
+            "mae_vs_exact": round(mae, 6),
+            "reference_mae": REFERENCE_HEAT_MAE,
+            "mae_vs_reference_ratio": round(mae / REFERENCE_HEAT_MAE, 3),
+            "final_loss": round(result.final_loss, 8),
+            "compile_time_s": round(result.compile_time, 1),
+            "wall_time_s": round(result.wall_time, 2),
+            "iterations": config.iterations,
+            "batch_size": config.batch_size,
+            "device": str(jax.devices()[0]),
+            "baseline": "reference torch CPU minimize_loss_dgm, same config",
+        },
+    }
+    print(json.dumps(out))
+    return 0 if mae < REFERENCE_HEAT_MAE else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""Command-line interface.
+
+One entry point with per-equation subcommands, preserving the reference's
+flag set exactly (``--solve --plot --savefig --niters --nnodes --batch-size``,
+heat.py:191-205) plus framework extensions (``--lrate --seed --checkpoint
+--results-dir``), and subcommands for the sweep/ablation drivers
+(optimize_heat_ray.py, batchsize_effect_heat.py, batchnorm_effect_heat.py).
+
+Artifact filenames match the reference's ``temp_results/`` layout so existing
+downstream tooling keeps working (heat.py:220-225, simple_ode.py:184-186,
+fredholm.py:184-185, fitzhugh_nagumo.py:226-227).
+
+Usage:
+    python -m differential_equations_dnn_tpu heat --solve --plot --savefig
+    python -m differential_equations_dnn_tpu sweep --equation heat --num-samples 10
+    python -m differential_equations_dnn_tpu ablation-batchsize
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from differential_equations_dnn_tpu.equations import (
+    PROBLEMS,
+    Fredholm2,
+)
+from differential_equations_dnn_tpu.train import TrainConfig, train, save_checkpoint
+from differential_equations_dnn_tpu.utils import (
+    fn_timer,
+    parameters_summary,
+    save_array,
+    load_array,
+)
+
+# (solution, loss, exact, figure) artifact names per equation — reference layout.
+ARTIFACTS = {
+    "simple_ode": ("test_simple_ode_nn_sol", "test_simple_ode_nn_loss",
+                   "test_simple_ode_sol", "figs/simple_ode_solution.pdf"),
+    "heat": ("heat_sol_1d_dgm", "heat_sol_1d_dgm_loss",
+             "heat_sol_exact_1d", "figs/heat_1dim_solution.pdf"),
+    "fredholm": ("fredholm_approx", "fredholm_loss",
+                 "fredholm_exact", "figs/fredholm_solution.pdf"),
+    "fitzhugh_nagumo": ("new_fn_solution_dgm", "new_fn_loss_dgm",
+                        "new_fn_solution_exact", "figs/fitzhugh_nagumo_solution.pdf"),
+    "uat": ("approximation", "uat_loss", "ground_truth", "figs/universal_approx.pdf"),
+}
+
+
+def _add_common_flags(p: argparse.ArgumentParser, defaults):
+    p.add_argument("--solve", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--savefig", action="store_true")
+    p.add_argument("--niters", type=int, default=defaults.iterations)
+    p.add_argument("--nnodes", type=int, default=defaults.nodes)
+    p.add_argument("--batch-size", type=int, default=defaults.batch_size)
+    p.add_argument("--lrate", type=float, default=defaults.lrate)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="save trained params/opt_state to this directory")
+    p.add_argument("--results-dir", type=str, default="temp_results")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the collocation batch over N devices (0 = off)")
+
+
+@fn_timer
+def _solve(problem, args):
+    config = TrainConfig(iterations=args.niters, batch_size=args.batch_size,
+                         lrate=args.lrate)
+    mesh = None
+    if args.mesh:
+        from differential_equations_dnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": args.mesh})
+    result = train(problem, jax.random.key(args.seed), config, mesh=mesh)
+    model = problem.default_model()
+    y_approx = problem.evaluate(model.apply, result.params, nodes=args.nnodes)
+    y_exact = problem.exact(args.nnodes)
+
+    sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
+    save_array(sol_name, y_approx, directory=args.results_dir)
+    save_array(loss_name, result.loss_history, directory=args.results_dir)
+    save_array(exact_name, y_exact, directory=args.results_dir)
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint,
+                        {"params": result.params,
+                         "step": np.asarray(args.niters)})
+    parameters_summary(
+        {"equation": problem.name, "iterations": args.niters,
+         "batch_size": args.batch_size, "lrate": args.lrate,
+         "nnodes": args.nnodes, "seed": args.seed,
+         "iters_per_sec": round(result.iters_per_sec, 1),
+         "wall_time_s": round(result.wall_time, 3),
+         "compile_time_s": round(result.compile_time, 3),
+         "final_loss": result.final_loss},
+        args.results_dir, name=f"{problem.name}_run",
+    )
+    print(f"[{problem.name}] {result.iters_per_sec:.0f} iters/s, "
+          f"final loss {result.final_loss:.3e}")
+    return result
+
+
+def _plot(problem, args):
+    from differential_equations_dnn_tpu import viz
+
+    sol_name, loss_name, exact_name, fig_name = ARTIFACTS[problem.name]
+    try:
+        y_approx = load_array(sol_name, directory=args.results_dir)
+        loss = load_array(loss_name, directory=args.results_dir)
+        y_exact = load_array(exact_name, directory=args.results_dir)
+    except FileNotFoundError as e:
+        raise SystemExit(
+            f"No saved results for '{problem.name}' in {args.results_dir}/ "
+            f"({e.filename}). Run with --solve first."
+        ) from e
+    savepath = fig_name if args.savefig else None
+
+    if problem.name == "heat":
+        _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
+                               savepath=savepath)
+    elif problem.name == "fitzhugh_nagumo":
+        grid = np.asarray(problem.grid_inputs(len(y_approx)))[:, 0]
+        _, mae = viz.plot_fitzhugh_nagumo(grid, y_exact, y_approx, loss,
+                                          savepath=savepath)
+    else:
+        grid = np.asarray(problem.grid_inputs(len(y_approx)))[:, 0]
+        _, mae = viz.plot_solution_and_loss(
+            grid, y_exact, y_approx, loss, problem.name, savepath=savepath)
+    print(f"[{problem.name}] DGM MAE: {np.round(mae, 6)}")
+    return mae
+
+
+def _cmd_equation(name, args):
+    problem_cls = PROBLEMS[name]
+    if name == "fredholm":
+        problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
+    else:
+        problem = problem_cls()
+    if args.solve:
+        _solve(problem, args)
+    if args.plot:
+        _plot(problem, args)
+    if not (args.solve or args.plot):
+        print("Nothing to do: pass --solve and/or --plot")
+
+
+def _cmd_sweep(args):
+    from differential_equations_dnn_tpu.sweep import random_search, successive_halving
+    from differential_equations_dnn_tpu.sweep.search import heat_search_space
+
+    problem = PROBLEMS[args.equation]()
+    key = jax.random.key(args.seed)
+    mesh = None
+    if args.mesh:
+        from differential_equations_dnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"pop": args.mesh})
+    if args.scheduler == "asha":
+        result = successive_halving(
+            problem, key, num_samples=args.num_samples,
+            max_budget=args.max_iters, max_batch_size=args.max_batch_size,
+            mesh=mesh,
+        )
+    else:
+        result = random_search(
+            problem, key, num_samples=args.num_samples,
+            max_iters=args.max_iters, max_batch_size=args.max_batch_size,
+            mesh=mesh,
+        )
+    print("Best config:", json.dumps(result.best_config))
+    print(f"Best loss: {result.best_score:.6e}")
+    out = Path(args.results_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with (out / f"sweep_{args.equation}.json").open("w") as f:
+        json.dump({"best_config": result.best_config,
+                   "best_score": result.best_score,
+                   "configs": result.configs,
+                   "scores": result.scores.tolist()}, f, indent=2)
+    return result
+
+
+def _cmd_ablation_batchsize(args):
+    from differential_equations_dnn_tpu.sweep import batch_size_effect
+    from differential_equations_dnn_tpu import viz
+
+    res = batch_size_effect(key=jax.random.key(args.seed), runs=args.runs,
+                            iterations=args.niters)
+    for label, curve in zip(res.labels, res.mean_losses):
+        save_array(f"heat_loss_bs_{label}", curve, directory=args.results_dir)
+    savepath = "figs/batchsize_effect.pdf" if args.savefig else None
+    viz.plot_ablation(res.as_dict(), savepath=savepath)
+    return res
+
+
+def _cmd_ablation_batchnorm(args):
+    from differential_equations_dnn_tpu.sweep import batchnorm_effect
+    from differential_equations_dnn_tpu import viz
+
+    res = batchnorm_effect(key=jax.random.key(args.seed), runs=args.runs,
+                           iterations=args.niters)
+    # Reference artifact names (batchnorm_effect_heat.py:312,330,347).
+    names = {"none": "relu_heat_loss_nobn", "pre": "relu_heat_loss_bn_pre",
+             "post": "relu_heat_loss_bn_post"}
+    for label, curves in zip(res.labels, res.all_losses):
+        save_array(names[label], curves, directory=args.results_dir)
+    savepath = "figs/batchnorm_effect.pdf" if args.savefig else None
+    viz.plot_ablation(res.as_dict(), savepath=savepath)
+    return res
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="differential_equations_dnn_tpu",
+        description="TPU-native Deep Galerkin solvers for ODEs, PDEs and "
+                    "integral equations",
+        epilog="-",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name in PROBLEMS:
+        p = sub.add_parser(name.replace("_", "-"), help=f"solve {name}")
+        _add_common_flags(p, PROBLEMS[name]().defaults)
+        if name == "fredholm":
+            p.add_argument("--quadrature", choices=["montecarlo", "gauss"],
+                           default="montecarlo")
+            p.add_argument("--quad-nodes", type=int, default=50)
+        p.set_defaults(func=lambda a, n=name: _cmd_equation(n, a))
+
+    p = sub.add_parser("sweep", help="population hyperparameter search "
+                                     "(replaces Ray Tune)")
+    p.add_argument("--equation", choices=list(PROBLEMS), default="heat")
+    p.add_argument("--num-samples", type=int, default=10)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--max-batch-size", type=int, default=512)
+    p.add_argument("--scheduler", choices=["random", "asha"], default="random")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0)
+    p.add_argument("--results-dir", type=str, default="temp_results")
+    p.set_defaults(func=_cmd_sweep)
+
+    for cmd, fn, niters in [("ablation-batchsize", _cmd_ablation_batchsize, 15000),
+                            ("ablation-batchnorm", _cmd_ablation_batchnorm, 15000)]:
+        p = sub.add_parser(cmd)
+        p.add_argument("--runs", type=int, default=5)
+        p.add_argument("--niters", type=int, default=niters)
+        p.add_argument("--savefig", action="store_true")
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--results-dir", type=str, default="temp_results")
+        p.set_defaults(func=fn)
+
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,11 @@ def main():
     from differential_equations_dnn_tpu.equations import Heat1D
     from differential_equations_dnn_tpu.train import TrainConfig, train
 
-    problem = Heat1D()
+    # taps="taylor": stacked Taylor streams — all 7 network evaluations of
+    # the heat step (value/x/xx/t derivative streams + 3 constraint
+    # forwards) in ONE matmul per layer (ops/taylor.py). Same math as the
+    # generic jvp taps (bit-identical gradients), ~1.6x faster.
+    problem = Heat1D(taps="taylor")
     model = problem.default_model()
 
     # Steady-state measurement: the full reference budget (15k iters) in

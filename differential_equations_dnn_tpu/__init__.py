@@ -29,6 +29,7 @@ __version__ = "0.1.0"
 
 from differential_equations_dnn_tpu import core, models, ops, equations, train
 from differential_equations_dnn_tpu import parallel, sweep, utils
+from differential_equations_dnn_tpu.api import solve, SolveResult
 
 __all__ = [
     "core",
@@ -39,5 +40,7 @@ __all__ = [
     "parallel",
     "sweep",
     "utils",
+    "solve",
+    "SolveResult",
     "__version__",
 ]

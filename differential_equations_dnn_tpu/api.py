@@ -1,0 +1,82 @@
+"""High-level one-call API: ``solve(...)``.
+
+What a reference user types instead of running a whole script:
+
+    from differential_equations_dnn_tpu import solve
+    result = solve("heat")          # reference defaults, reference budgets
+    result.mae, result.solution, result.loss_history
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+import jax
+
+from differential_equations_dnn_tpu.equations import PROBLEMS, Problem
+from differential_equations_dnn_tpu.train import TrainConfig, train
+from differential_equations_dnn_tpu.train.metrics import mean_absolute_error
+
+
+@dataclass
+class SolveResult:
+    problem: Problem
+    params: Any
+    solution: np.ndarray        # net evaluated on the problem grid
+    exact: np.ndarray           # analytic / classical ground truth
+    mae: float
+    loss_history: np.ndarray
+    iters_per_sec: float
+    wall_time: float
+
+    def __repr__(self):
+        return (f"SolveResult({self.problem.name}: mae={self.mae:.4g}, "
+                f"final_loss={self.loss_history[-1]:.3g}, "
+                f"{self.iters_per_sec:.0f} iters/s)")
+
+
+def solve(equation: str | Problem, *, iterations: int | None = None,
+          batch_size: int | None = None, lrate: float | None = None,
+          nodes: int | None = None, seed: int = 0, model=None, mesh=None,
+          verbose: bool = False, **problem_kwargs) -> SolveResult:
+    """Train a network on ``equation`` and validate against its ground truth.
+
+    ``equation`` is a registry name ("simple_ode", "heat", "fredholm",
+    "fitzhugh_nagumo", "uat") or a Problem instance. Unset hyperparameters
+    default to the reference's published configuration for that equation.
+    """
+    if isinstance(equation, str):
+        try:
+            problem = PROBLEMS[equation](**problem_kwargs)
+        except KeyError:
+            raise ValueError(
+                f"unknown equation {equation!r}; available: {sorted(PROBLEMS)}"
+            ) from None
+    else:
+        problem = equation
+
+    d = problem.defaults
+    config = TrainConfig(
+        iterations=iterations if iterations is not None else d.iterations,
+        batch_size=batch_size if batch_size is not None else d.batch_size,
+        lrate=lrate if lrate is not None else d.lrate,
+        verbose=verbose,
+    )
+    nodes = nodes if nodes is not None else d.nodes
+    model = model or problem.default_model()
+
+    result = train(problem, jax.random.key(seed), config, model=model,
+                   mesh=mesh)
+    solution = problem.evaluate(model.apply, result.params, nodes=nodes)
+    exact = problem.exact(nodes)
+    return SolveResult(
+        problem=problem,
+        params=result.params,
+        solution=solution,
+        exact=exact,
+        mae=mean_absolute_error(exact, solution),
+        loss_history=result.loss_history,
+        iters_per_sec=result.iters_per_sec,
+        wall_time=result.wall_time,
+    )

@@ -30,6 +30,13 @@ class Heat1D(Problem):
     kappa: float = 1.0
     x_max: float = math.pi
     t_max: float = 3.0
+    # Derivative-tap implementation:
+    #   "jvp"    — generic jvp-over-jvp taps; works with ANY model (incl. BN).
+    #   "taylor" — stacked Taylor streams, one matmul per layer for all 7
+    #              logical evaluations (ops.taylor); plain default MLP only.
+    #   "pallas" — Pallas TPU kernel of the same fused computation
+    #              (kernels.taylor_mlp); plain default MLP only.
+    taps: str = "jvp"
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=15000, batch_size=64, nodes=40)
     )
@@ -51,16 +58,37 @@ class Heat1D(Problem):
         }
 
     def point_loss(self, apply_fn, params, batch):
-        f = lambda z: apply_fn(params, z)
-        # Domain residual: u_t − κ·u_xx.
-        _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
-        _, u_t = value_dt(f, batch["xt"], t_axis=1)
+        if self.taps == "jvp":
+            f = lambda z: apply_fn(params, z)
+            # Domain residual: u_t − κ·u_xx.
+            _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
+            _, u_t = value_dt(f, batch["xt"], t_axis=1)
+            r_init = f(batch["x0"]) - jnp.sin(batch["x0"][:, :1])
+            r_b1 = f(batch["xb1"])
+            r_b2 = f(batch["xb2"])
+        else:
+            # Fused stacked-stream paths (plain default MLP only): all 7
+            # network evaluations in one matmul chain per layer.
+            model = self.default_model()
+            if self.taps == "taylor":
+                from differential_equations_dnn_tpu.ops.taylor import heat_fused_streams
+
+                _, _, u_xx, u_t, u0, ub1, ub2 = heat_fused_streams(
+                    model, params, batch["xt"], batch["x0"], batch["xb1"],
+                    batch["xb2"])
+            elif self.taps == "pallas":
+                from differential_equations_dnn_tpu.kernels.taylor_mlp import (
+                    heat_fused_streams_pallas,
+                )
+
+                _, _, u_xx, u_t, u0, ub1, ub2 = heat_fused_streams_pallas(
+                    model, params, batch["xt"], batch["x0"], batch["xb1"],
+                    batch["xb2"])
+            else:
+                raise ValueError(f"unknown taps mode {self.taps!r}")
+            r_init = u0 - jnp.sin(batch["x0"][:, :1])
+            r_b1, r_b2 = ub1, ub2
         r_domain = u_t - self.kappa * u_xx
-        # Initial condition u(x, 0) = sin x.
-        r_init = f(batch["x0"]) - jnp.sin(batch["x0"][:, :1])
-        # Dirichlet boundaries u(0, t) = u(π, t) = 0.
-        r_b1 = f(batch["xb1"])
-        r_b2 = f(batch["xb2"])
         # Reference takes the mean of the summed squares (heat.py:95).
         return (jnp.square(r_domain) + jnp.square(r_init)
                 + jnp.square(r_b1) + jnp.square(r_b2))[:, 0]

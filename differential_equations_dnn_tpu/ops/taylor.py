@@ -1,0 +1,159 @@
+"""Stacked Taylor propagation: all derivative streams in ONE matmul per layer.
+
+The jvp-over-jvp tap (ops.diff) gives XLA four separate small matmuls per MLP
+layer (value, x-tangent, xx-tangent, t-tangent). For a TPU MXU, four [B, H]
+matmuls underutilise the 128×128 systolic array when B is small. This module
+propagates the four streams STACKED into a single [4B, H] operand — one large
+matmul per layer — with the pointwise nonlinear Taylor rules applied between
+layers:
+
+    linear  z_s = a_s @ W        (+ b for the value stream only)
+    tanh    a0  = tanh(z0),          d = 1 − a0²      (value)
+            a1  = d·z1                                 (∂/∂v)
+            a2  = d·z2 − 2·a0·d·z1²                    (∂²/∂v²)
+            a3  = d·z3                                 (∂/∂w, second direction)
+
+This is the exact forward-mode algebra (truncated Taylor/jet arithmetic), so
+results match ops.diff bit-for-bit up to reassociation. It is fully
+differentiable (pure jnp), so reverse-mode AD through it trains the net.
+
+Specialised to the plain MLP pytree layout (models.mlp, no BatchNorm).
+Reference hot path replaced: heat.py:73-85's two nested reverse taps.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from differential_equations_dnn_tpu.core.activations import get_activation
+from differential_equations_dnn_tpu.core.precision import DOT_PRECISION
+
+_TAYLOR_ACTS = ("tanh", "relu", "sigmoid", "identity")
+
+
+def _act_taylor(name, z0, z1, z2, z3):
+    """Apply activation to the value stream and its Taylor rules to the
+    tangent streams. z2 is the SECOND directional derivative along the same
+    direction as z1; z3 an independent first-order direction."""
+    if name == "tanh":
+        a0 = jnp.tanh(z0)
+        d = 1.0 - a0 * a0
+        return a0, d * z1, d * z2 - 2.0 * a0 * d * (z1 * z1), d * z3
+    if name == "sigmoid":
+        a0 = 1.0 / (1.0 + jnp.exp(-z0))
+        d = a0 * (1.0 - a0)
+        dd = d * (1.0 - 2.0 * a0)
+        return a0, d * z1, d * z2 + dd * (z1 * z1), d * z3
+    if name == "relu":
+        g = (z0 > 0).astype(z0.dtype)
+        return jnp.maximum(z0, 0.0), g * z1, g * z2, g * z3
+    if name == "identity":
+        return z0, z1, z2, z3
+    raise ValueError(f"activation {name!r} not supported by stacked Taylor "
+                     f"propagation (supported: {_TAYLOR_ACTS})")
+
+
+def mlp_taps(model, params, x, v, w):
+    """Evaluate u, ∂_v u, ∂²_v u, ∂_w u of a plain MLP at a batch of points.
+
+    Args:
+      model: models.MLP config (batch_norm must be None).
+      params: MLP parameter pytree.
+      x: [B, D] evaluation points.
+      v: [D] first direction (the second-order one, e.g. e_x).
+      w: [D] independent first-order direction (e.g. e_t).
+
+    Returns:
+      (u, du_v, d2u_vv, du_w), each [B, out_dim].
+    """
+    if model.batch_norm is not None:
+        raise ValueError("mlp_taps supports plain MLPs only")
+    name = model.activation
+    B = x.shape[0]
+
+    a0 = x
+    a1 = jnp.broadcast_to(v, x.shape)
+    a2 = jnp.zeros_like(x)
+    a3 = jnp.broadcast_to(w, x.shape)
+
+    def layer(a0, a1, a2, a3, W, b):
+        z = jnp.dot(jnp.concatenate([a0, a1, a2, a3], axis=0), W,
+                    precision=DOT_PRECISION)
+        z0, z1, z2, z3 = jnp.split(z, 4, axis=0)
+        if b is not None:
+            z0 = z0 + b
+        return z0, z1, z2, z3
+
+    a0, a1, a2, a3 = _act_taylor(
+        name, *layer(a0, a1, a2, a3, params["fc_in"]["w"],
+                     params["fc_in"].get("b"))
+    )
+    if model.num_layers > 0:
+        def body(carry, lp):
+            s0, s1, s2, s3 = carry
+            outs = _act_taylor(name, *layer(s0, s1, s2, s3, lp["w"],
+                                            lp.get("b")))
+            return outs, None
+
+        (a0, a1, a2, a3), _ = lax.scan(body, (a0, a1, a2, a3),
+                                       params["hidden"])
+    u, du_v, d2u_vv, du_w = layer(a0, a1, a2, a3, params["fc_out"]["w"],
+                                  params["fc_out"]["b"])
+    # Output layer is affine: bias affects the value stream only (already
+    # handled inside `layer`).
+    return u, du_v, d2u_vv, du_w
+
+
+def heat_fused_streams(model, params, xt, x0, xb1, xb2):
+    """The whole heat-equation step's network evaluations in ONE stacked
+    matmul chain: interior value + x-tangent + xx-tangent + t-tangent PLUS
+    the three constraint forwards (IC and two boundaries), i.e. 7 logical
+    streams in a single [7B, H] operand per layer.
+
+    Returns (u, u_x, u_xx, u_t, u0, ub1, ub2), each [B, 1].
+
+    Replaces: 1 interior forward + 2 nested reverse taps + 3 constraint
+    forwards per step in the reference (heat.py:73-93).
+    """
+    if model.batch_norm is not None:
+        raise ValueError("heat_fused_streams supports plain MLPs only")
+    name = model.activation
+    B = xt.shape[0]
+
+    ex = jnp.asarray([1.0, 0.0], xt.dtype)
+    et = jnp.asarray([0.0, 1.0], xt.dtype)
+    stacked = jnp.concatenate([
+        xt,                               # 0: interior value
+        jnp.broadcast_to(ex, xt.shape),   # 1: x-tangent
+        jnp.zeros_like(xt),               # 2: xx (second-order) tangent
+        jnp.broadcast_to(et, xt.shape),   # 3: t-tangent
+        x0, xb1, xb2,                     # 4-6: constraint values
+    ], axis=0)
+
+    def act_all(z):
+        z0, z1, z2, z3, c = (z[:B], z[B:2 * B], z[2 * B:3 * B],
+                             z[3 * B:4 * B], z[4 * B:])
+        a0, a1, a2, a3 = _act_taylor(name, z0, z1, z2, z3)
+        ac = _act_taylor(name, c, c, c, c)[0]  # value rule only
+        return jnp.concatenate([a0, a1, a2, a3, ac], axis=0)
+
+    def layer(a, W, b):
+        z = jnp.dot(a, W, precision=DOT_PRECISION)
+        if b is not None:
+            # Bias applies to VALUE streams (interior + constraints), not to
+            # tangent streams (an additive constant has zero derivative).
+            bias_mask = jnp.concatenate([
+                jnp.ones((B, 1), z.dtype), jnp.zeros((3 * B, 1), z.dtype),
+                jnp.ones((3 * B, 1), z.dtype),
+            ], axis=0)
+            z = z + bias_mask * b
+        return z
+
+    a = act_all(layer(stacked, params["fc_in"]["w"], params["fc_in"].get("b")))
+    if model.num_layers > 0:
+        def body(a, lp):
+            return act_all(layer(a, lp["w"], lp.get("b"))), None
+
+        a, _ = lax.scan(body, a, params["hidden"])
+    out = layer(a, params["fc_out"]["w"], params["fc_out"]["b"])
+    return (out[:B], out[B:2 * B], out[2 * B:3 * B], out[3 * B:4 * B],
+            out[4 * B:5 * B], out[5 * B:6 * B], out[6 * B:])

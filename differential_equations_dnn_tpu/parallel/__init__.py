@@ -26,6 +26,10 @@ from differential_equations_dnn_tpu.parallel.population import (
     train_population,
     take_trials,
 )
+from differential_equations_dnn_tpu.parallel.distributed import (
+    initialize_distributed,
+    global_mesh,
+)
 
 __all__ = [
     "make_mesh",
@@ -35,4 +39,6 @@ __all__ = [
     "PopulationConfig",
     "train_population",
     "take_trials",
+    "initialize_distributed",
+    "global_mesh",
 ]

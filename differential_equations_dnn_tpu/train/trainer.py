@@ -45,6 +45,11 @@ class TrainConfig:
     log_every: int = 100        # host-side loss print cadence (0 = silent)
     chunk_size: int = 1000      # scan length per jit dispatch
     optimizer: str = "adam"
+    # Learning-rate schedule: "constant" | "cosine" | "exponential".
+    # (The reference hand-rolls LR decay in commented-out code,
+    # fitzhugh_nagumo.py:149-152; here it is a first-class option.)
+    schedule: str = "constant"
+    schedule_decay: float = 0.1   # final lr = lrate * schedule_decay
     data_axis: str = "data"     # mesh axis name for collocation sharding
     verbose: bool = True
 
@@ -63,16 +68,29 @@ class TrainResult:
         return float(self.loss_history[-1])
 
 
+def _make_schedule(config: TrainConfig):
+    if config.schedule == "constant":
+        return config.lrate
+    if config.schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            config.lrate, config.iterations, alpha=config.schedule_decay)
+    if config.schedule == "exponential":
+        return optax.exponential_decay(
+            config.lrate, config.iterations, config.schedule_decay)
+    raise ValueError(f"unknown schedule {config.schedule!r}")
+
+
 def _make_optimizer(config: TrainConfig):
+    lr = _make_schedule(config)
     if config.optimizer == "adam":
         # torch.optim.Adam defaults (reference heat.py:115): eps inside sqrt
         # differs between torch/optax by eps_root; torch uses eps outside —
         # optax.adam(eps=1e-8, eps_root=0) matches.
-        return optax.adam(config.lrate, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if config.optimizer == "adamw":
-        return optax.adamw(config.lrate)
+        return optax.adamw(lr)
     if config.optimizer == "sgd":
-        return optax.sgd(config.lrate)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
 

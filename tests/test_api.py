@@ -1,0 +1,54 @@
+"""High-level solve() API and trainer schedule tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from differential_equations_dnn_tpu import solve
+from differential_equations_dnn_tpu.equations import SimpleODE
+from differential_equations_dnn_tpu.train import TrainConfig, train
+from differential_equations_dnn_tpu.parallel import initialize_distributed
+
+
+def test_solve_by_name():
+    res = solve("simple_ode", iterations=500, batch_size=32, lrate=1e-3,
+                nodes=10)
+    assert res.solution.shape == (10,)
+    assert res.exact.shape == (10,)
+    assert res.mae < 0.2
+    assert "simple_ode" in repr(res)
+
+
+def test_solve_with_problem_instance():
+    res = solve(SimpleODE(), iterations=100, batch_size=16, nodes=5)
+    assert np.isfinite(res.mae)
+
+
+def test_solve_unknown_equation():
+    with pytest.raises(ValueError, match="unknown equation"):
+        solve("wave")
+
+
+def test_solve_passes_problem_kwargs():
+    res = solve("fredholm", iterations=50, batch_size=8, nodes=5,
+                quadrature="gauss", k=8)
+    assert res.problem.quadrature == "gauss"
+
+
+@pytest.mark.parametrize("schedule", ["cosine", "exponential"])
+def test_lr_schedules(key, schedule):
+    cfg = TrainConfig(iterations=200, batch_size=16, lrate=1e-3,
+                      schedule=schedule, verbose=False)
+    res = train(SimpleODE(), key, cfg)
+    assert np.isfinite(res.loss_history).all()
+
+
+def test_bad_schedule_raises(key):
+    cfg = TrainConfig(iterations=10, schedule="linear-warmup", verbose=False)
+    with pytest.raises(ValueError, match="unknown schedule"):
+        train(SimpleODE(), key, cfg)
+
+
+def test_initialize_distributed_single_process_noop():
+    assert initialize_distributed() is False

@@ -6,9 +6,11 @@
 Reference: fitzhugh_nagumo.py — loss :53-97 (two residual means, one per
 component via separate reverse taps, plus IC mean, SUMMED — not mean-of-sum),
 sampling = 200-point linspace grid subsampled without replacement :124-131,
-ground truth scipy.integrate.odeint :231, defaults 150000 iters / batch 256 /
-lr 1e-4 / 50-node grid :181-183, DGM variant B 1→2 hidden 128 × 4 layers
-:211-214, IC y(0) = w(0) = 0.
+ground truth scipy.integrate.odeint :231, defaults 150000 iters / batch 100 /
+lr 1e-4 / 50-node grid (the script's argparse default --batch-size is 100,
+:204; the local ``batch_size = 256`` at :183 is overwritten — and 256 would
+crash multinomial-without-replacement over the 200-point grid anyway),
+DGM variant B 1→2 hidden 128 × 4 layers :211-214, IC y(0) = w(0) = 0.
 
 TPU design: ONE forward-mode jvp along t yields d/dt of BOTH components
 simultaneously (the reference pays two reverse taps, :74-84).
@@ -42,7 +44,7 @@ class FitzHughNagumo(Problem):
     grid_points: int = 200
     y_ic: float = 0.0
     defaults: TrainDefaults = field(
-        default_factory=lambda: TrainDefaults(iterations=150_000, batch_size=256, nodes=50)
+        default_factory=lambda: TrainDefaults(iterations=150_000, batch_size=100, nodes=50)
     )
 
     def default_model(self):

@@ -50,6 +50,11 @@ class TrainConfig:
     # fitzhugh_nagumo.py:149-152; here it is a first-class option.)
     schedule: str = "constant"
     schedule_decay: float = 0.1   # final lr = lrate * schedule_decay
+    # Residual-based adaptive collocation (beyond the reference; cf. RAD /
+    # PACMANN-style adaptive sampling): draw `adaptive_oversample`× the batch
+    # each step, keep the batch_size points with the LARGEST current
+    # residual. 0/1 disables. Stays fully inside the jitted scan.
+    adaptive_oversample: int = 0
     data_axis: str = "data"     # mesh axis name for collocation sharding
     verbose: bool = True
 
@@ -95,7 +100,7 @@ def _make_optimizer(config: TrainConfig):
 
 
 def make_train_step(problem, apply_fn, optimizer, batch_size, mesh=None,
-                    data_axis="data"):
+                    data_axis="data", adaptive_oversample=0):
     """Build the pure per-iteration step:
     ``step((params, opt_state), key) -> ((params, opt_state), loss)``."""
 
@@ -105,7 +110,16 @@ def make_train_step(problem, apply_fn, optimizer, batch_size, mesh=None,
 
     def step(carry, key):
         params, opt_state = carry
-        batch = problem.sample(key, batch_size)
+        if adaptive_oversample > 1:
+            # Residual-based adaptive collocation: oversample candidates,
+            # keep the hardest points under the CURRENT params (selection is
+            # gradient-stopped; only the selected batch is differentiated).
+            cand = problem.sample(key, batch_size * adaptive_oversample)
+            r = lax.stop_gradient(problem.point_loss(apply_fn, params, cand))
+            _, idx = lax.top_k(r, batch_size)
+            batch = jax.tree.map(lambda a: a[idx], cand)
+        else:
+            batch = problem.sample(key, batch_size)
         if batch_sharding is not None:
             batch = jax.tree.map(
                 lambda a: lax.with_sharding_constraint(a, batch_sharding), batch
@@ -145,7 +159,8 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
         opt_state = optimizer.init(params)
 
     step = make_train_step(problem, apply_fn, optimizer, config.batch_size,
-                           mesh=mesh, data_axis=config.data_axis)
+                           mesh=mesh, data_axis=config.data_axis,
+                           adaptive_oversample=config.adaptive_oversample)
 
     @partial(jax.jit, static_argnames=("length",))
     def run_chunk(params, opt_state, start, length):

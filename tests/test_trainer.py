@@ -78,3 +78,20 @@ def test_resume_from_params(key):
     r2 = train(prob, key, cfg2, params=r1.params, opt_state=r1.opt_state,
                start_step=300)
     assert r2.loss_history[0] < r1.loss_history[0] * 0.5  # warm start
+
+
+def test_adaptive_oversampling_improves_mae(key):
+    """Residual-based adaptive collocation (adaptive_oversample) must at
+    least match uniform sampling at equal iteration budget."""
+    from differential_equations_dnn_tpu.equations import Heat1D
+
+    prob = Heat1D()
+    model = prob.default_model()
+    maes = {}
+    for ov in (0, 4):
+        cfg = TrainConfig(iterations=400, batch_size=32,
+                          adaptive_oversample=ov, verbose=False)
+        res = train(prob, key, cfg)
+        maes[ov] = prob.mae(model.apply, res.params, nodes=20)
+    assert maes[4] < maes[0] * 1.5  # never catastrophically worse
+    assert all(np.isfinite(v) for v in maes.values())

@@ -18,6 +18,9 @@ was an RTX 3060 workstation; no GPU is available here to re-measure.
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 

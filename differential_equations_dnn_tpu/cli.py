@@ -61,13 +61,25 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="save trained params/opt_state to this directory")
+    p.add_argument("--restore", type=str, default=None,
+                   help="resume training from a checkpoint directory")
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the collocation batch over N devices (0 = off)")
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="train N replicas as one vmapped population and keep "
+                        "the best by off-grid validation residual "
+                        "(recommended: 8 for fitzhugh-nagumo, whose init "
+                        "sensitivity is high)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu') before any "
+                        "computation")
 
 
 @fn_timer
 def _solve(problem, args):
+    if getattr(args, "ensemble", 0) and args.ensemble > 1:
+        return _solve_ensemble(problem, args)
     config = TrainConfig(iterations=args.niters, batch_size=args.batch_size,
                          lrate=args.lrate)
     mesh = None
@@ -75,7 +87,15 @@ def _solve(problem, args):
         from differential_equations_dnn_tpu.parallel import make_mesh
 
         mesh = make_mesh({"data": args.mesh})
-    result = train(problem, jax.random.key(args.seed), config, mesh=mesh)
+    params = start_step = None
+    if args.restore:
+        from differential_equations_dnn_tpu.train import restore_checkpoint
+
+        ckpt = restore_checkpoint(args.restore)
+        params, start_step = ckpt["params"], int(ckpt["step"])
+        print(f"Restored checkpoint at step {start_step} from {args.restore}")
+    result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
+                   params=params, start_step=start_step or 0)
     model = problem.default_model()
     y_approx = problem.evaluate(model.apply, result.params, nodes=args.nnodes)
     y_exact = problem.exact(args.nnodes)
@@ -88,7 +108,7 @@ def _solve(problem, args):
     if args.checkpoint:
         save_checkpoint(args.checkpoint,
                         {"params": result.params,
-                         "step": np.asarray(args.niters)})
+                         "step": np.asarray((start_step or 0) + args.niters)})
     parameters_summary(
         {"equation": problem.name, "iterations": args.niters,
          "batch_size": args.batch_size, "lrate": args.lrate,
@@ -102,6 +122,24 @@ def _solve(problem, args):
     print(f"[{problem.name}] {result.iters_per_sec:.0f} iters/s, "
           f"final loss {result.final_loss:.3e}")
     return result
+
+
+def _solve_ensemble(problem, args):
+    from differential_equations_dnn_tpu.api import solve as api_solve
+
+    res = api_solve(problem, iterations=args.niters,
+                    batch_size=args.batch_size, lrate=args.lrate,
+                    nodes=args.nnodes, seed=args.seed, ensemble=args.ensemble)
+    sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
+    save_array(sol_name, res.solution, directory=args.results_dir)
+    save_array(loss_name, res.loss_history, directory=args.results_dir)
+    save_array(exact_name, res.exact, directory=args.results_dir)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint,
+                        {"params": res.params, "step": np.asarray(args.niters)})
+    print(f"[{problem.name}] ensemble={args.ensemble}: best-trial MAE "
+          f"{res.mae:.6f}, {res.iters_per_sec:.0f} iters/s (population)")
+    return res
 
 
 def _plot(problem, args):
@@ -257,6 +295,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must run before any JAX computation; overrides the environment's
+        # platform plugin (env vars are shadowed by site customisations).
+        jax.config.update("jax_platforms", args.platform)
     return args.func(args)
 
 

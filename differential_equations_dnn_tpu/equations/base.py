@@ -45,6 +45,14 @@ class Problem:
     def sample(self, key, n):
         raise NotImplementedError
 
+    def validation_sample(self, key, n):
+        """Collocation batch for VALIDATION (model selection). Defaults to
+        the training sampler; problems that train on a fixed grid override
+        this with dense off-grid sampling — a trial can drive the residual
+        to zero ON the grid while oscillating between grid points (observed
+        on FitzHugh–Nagumo), and only off-grid residuals expose that."""
+        return self.sample(key, n)
+
     def point_loss(self, apply_fn, params, batch):
         """Per-collocation-point summed squared residuals, shape [B].
 

@@ -55,6 +55,15 @@ class FitzHughNagumo(Problem):
         sampler = GridSubsample(0.0, self.t_max, self.grid_points)
         return {"t": sampler.sample(key, n), "t0": jnp.zeros((n, 1))}
 
+    def validation_sample(self, key, n):
+        # Dense OFF-grid points: training uses a fixed 200-point grid, and a
+        # net can zero the residual on the grid while oscillating between
+        # its points — uniform sampling catches that (see base.Problem).
+        import jax
+
+        t = self.t_max * jax.random.uniform(key, (n, 1))
+        return {"t": t, "t0": jnp.zeros((n, 1))}
+
     def point_loss(self, apply_fn, params, batch):
         t, t0 = batch["t"], batch["t0"]
         s, dsdt = time_jacobian(lambda z: apply_fn(params, z), t)

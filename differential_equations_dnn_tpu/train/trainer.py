@@ -57,6 +57,10 @@ class TrainConfig:
     adaptive_oversample: int = 0
     data_axis: str = "data"     # mesh axis name for collocation sharding
     verbose: bool = True
+    # Optional JSONL metrics stream: one record per chunk (step, loss stats,
+    # iters/sec) — the framework's observability hook (SURVEY §5.5); loss
+    # stays device-resident within a chunk.
+    metrics_file: str | None = None
 
 
 @dataclass
@@ -179,14 +183,18 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
         if n_full > 0:
             run_chunk.lower(params, opt_state, 0, chunk).compile()
 
+    metrics_fh = open(config.metrics_file, "a") if config.metrics_file else None
     with Timer() as t:
         done = start_step
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         try:
             for chunk_len in [chunk] * n_full + ([rem] if rem else []):
-                params, opt_state, losses = run_chunk(params, opt_state, done, chunk_len)
-                losses = np.asarray(losses)
+                chunk_timer = Timer()
+                with chunk_timer:
+                    params, opt_state, losses = run_chunk(params, opt_state,
+                                                          done, chunk_len)
+                    losses = np.asarray(losses)
                 losses_out.append(losses)
                 if config.verbose and config.log_every:
                     for j in range(0, chunk_len, config.log_every):
@@ -195,9 +203,22 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                             print(f"Iteration: {i}, Loss: {losses[j]}, "
                                   f"LR: {config.lrate}")
                 done += chunk_len
+                if metrics_fh:
+                    import json
+
+                    metrics_fh.write(json.dumps({
+                        "step": done,
+                        "loss": float(losses[-1]),
+                        "loss_mean": float(losses.mean()),
+                        "loss_min": float(losses.min()),
+                        "iters_per_sec": round(chunk_len / chunk_timer.elapsed, 1),
+                    }) + "\n")
+                    metrics_fh.flush()
         finally:
             if profile_dir:
                 jax.profiler.stop_trace()
+            if metrics_fh:
+                metrics_fh.close()
         jax.block_until_ready(params)
 
     loss_history = np.concatenate(losses_out) if losses_out else np.zeros((0,))

@@ -52,3 +52,11 @@ def test_bad_schedule_raises(key):
 
 def test_initialize_distributed_single_process_noop():
     assert initialize_distributed() is False
+
+
+def test_solve_ensemble_selects_by_loss():
+    res = solve("simple_ode", iterations=300, batch_size=16, lrate=1e-3,
+                nodes=10, ensemble=4)
+    assert res.solution.shape == (10,)
+    assert res.loss_history.shape == (300,)
+    assert np.isfinite(res.mae)

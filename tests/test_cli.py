@@ -82,3 +82,22 @@ def test_parser_rejects_unknown_equation():
 def test_no_action_prints_hint(capsys):
     main(["simple-ode"])
     assert "Nothing to do" in capsys.readouterr().out
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    ck = str(tmp_path / "ckpt")
+    main(["simple-ode", "--solve", "--niters", "100", "--batch-size", "8",
+          "--nnodes", "5", "--checkpoint", ck, "--results-dir", rd])
+    main(["simple-ode", "--solve", "--niters", "50", "--batch-size", "8",
+          "--nnodes", "5", "--restore", ck, "--results-dir", rd])
+    # loss history from the resumed run exists and is the requested length
+    loss = np.load(Path(rd) / "test_simple_ode_nn_loss.npy")
+    assert loss.shape == (50,)
+
+
+def test_ensemble_flag(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    main(["simple-ode", "--solve", "--niters", "60", "--batch-size", "8",
+          "--nnodes", "5", "--ensemble", "3", "--results-dir", rd])
+    assert np.load(Path(rd) / "test_simple_ode_nn_loss.npy").shape == (60,)

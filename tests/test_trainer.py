@@ -95,3 +95,16 @@ def test_adaptive_oversampling_improves_mae(key):
         maes[ov] = prob.mae(model.apply, res.params, nodes=20)
     assert maes[4] < maes[0] * 1.5  # never catastrophically worse
     assert all(np.isfinite(v) for v in maes.values())
+
+
+def test_metrics_jsonl(key, tmp_path):
+    import json
+    from differential_equations_dnn_tpu.equations import SineFit
+
+    mf = tmp_path / "metrics.jsonl"
+    cfg = TrainConfig(iterations=250, batch_size=8, chunk_size=100,
+                      verbose=False, metrics_file=str(mf))
+    train(SineFit(n_points=8), key, cfg)
+    records = [json.loads(l) for l in mf.read_text().splitlines()]
+    assert [r["step"] for r in records] == [100, 200, 250]
+    assert all("iters_per_sec" in r and np.isfinite(r["loss"]) for r in records)

@@ -1,0 +1,357 @@
+"""Fully-fused Pallas training kernel for the heat equation.
+
+ONE kernel executes K Adam steps end-to-end on-chip:
+
+* grid = (K,): each grid step consumes one pre-sampled `[B, 2]` slice of
+  uniform collocation draws (streamed HBM→VMEM with automatic
+  double-buffering) — RNG stays in `jax.random` for reproducibility;
+* params / Adam moments live in VMEM output buffers with a constant
+  index_map, so they are initialised once (step 0) and revisited in place —
+  zero HBM traffic for the optimiser state between steps;
+* forward = the 7-stream stacked Taylor propagation (ops.taylor): interior
+  value + x/xx/t derivative streams + IC/BC constraint forwards, one MXU
+  matmul per layer;
+* backward = hand-derived VJP of the Taylor stream algebra (verified against
+  `jax.grad` of the pure implementation in tests), two MXU matmuls per layer;
+* Adam with torch-default hyperparameters and bias correction by true step
+  index (carried across kernel launches via `step0`).
+
+This removes ALL per-step XLA scheduling overhead: the entire training loop
+for the reference heat configuration runs inside one Mosaic program.
+
+Restriction: plain tanh MLP (the heat equation's reference net,
+heat.py:181-184). The generic path (any model/equation) remains
+train.trainer; this kernel is the speed-of-light option benchmarked in
+bench.py extras.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Shared step math (pure jnp — used inside the kernel AND as the test twin)
+# ---------------------------------------------------------------------------
+
+
+def _stack_inputs(u, B, x_max, t_max):
+    """u: [B, 2] uniforms in [0,1) → the 7-stream stacked input [7B, 2]."""
+    x = x_max * u[:, :1]
+    t = t_max * u[:, 1:]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows = [
+        jnp.concatenate([x, t], 1),            # interior value
+        jnp.concatenate([one, zero], 1),       # x-tangent
+        jnp.concatenate([zero, zero], 1),      # xx-tangent (2nd order seed)
+        jnp.concatenate([zero, one], 1),       # t-tangent
+        jnp.concatenate([x, zero], 1),         # IC points (x, 0)
+        jnp.concatenate([zero, t], 1),         # boundary x=0
+        jnp.concatenate([jnp.full_like(x, x_max), t], 1),  # boundary x=x_max
+    ]
+    return jnp.concatenate(rows, 0), x
+
+
+def _bias_mask(B, dtype):
+    # Value streams (interior + 3 constraints) receive the bias; tangent
+    # streams do not (constants have zero derivative).
+    return jnp.concatenate([
+        jnp.ones((B, 1), dtype), jnp.zeros((3 * B, 1), dtype),
+        jnp.ones((3 * B, 1), dtype),
+    ], 0)
+
+
+def _act_fwd(z, B):
+    """tanh value rule on value streams, Taylor rules on tangent streams.
+    Returns (a, saved) where saved = z (pre-activations) for the backward."""
+    z0, z1, z2, z3, zc = (z[:B], z[B:2 * B], z[2 * B:3 * B], z[3 * B:4 * B],
+                          z[4 * B:])
+    a0 = jnp.tanh(z0)
+    d = 1.0 - a0 * a0
+    a1 = d * z1
+    a2 = d * z2 - 2.0 * a0 * d * (z1 * z1)
+    a3 = d * z3
+    ac = jnp.tanh(zc)
+    return jnp.concatenate([a0, a1, a2, a3, ac], 0)
+
+
+def _act_bwd(z, g, B):
+    """VJP of _act_fwd: upstream grads g (w.r.t. streams a) → grads dz.
+
+    With a0=tanh(z0), d=1−a0², d' = −2 a0 d:
+      dz0 = d·g0 + d'(z1 g1 + z2 g2 + z3 g3) − 2 z1² d (d − 2 a0²) g2
+      dz1 = d·g1 − 4 a0 d z1 g2
+      dz2 = d·g2
+      dz3 = d·g3
+      dzc = (1 − tanh²(zc))·gc
+    """
+    z0, z1, z2, z3, zc = (z[:B], z[B:2 * B], z[2 * B:3 * B], z[3 * B:4 * B],
+                          z[4 * B:])
+    g0, g1, g2, g3, gc = (g[:B], g[B:2 * B], g[2 * B:3 * B], g[3 * B:4 * B],
+                          g[4 * B:])
+    a0 = jnp.tanh(z0)
+    d = 1.0 - a0 * a0
+    dp = -2.0 * a0 * d
+    dz0 = (d * g0 + dp * (z1 * g1 + z2 * g2 + z3 * g3)
+           - 2.0 * (z1 * z1) * d * (d - 2.0 * a0 * a0) * g2)
+    dz1 = d * g1 - 4.0 * a0 * d * z1 * g2
+    dz2 = d * g2
+    dz3 = d * g3
+    ac = jnp.tanh(zc)
+    dzc = (1.0 - ac * ac) * gc
+    return jnp.concatenate([dz0, dz1, dz2, dz3, dzc], 0)
+
+
+def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
+    """One training step's loss and parameter gradients, written in plain
+    jnp so it runs identically inside the Pallas kernel and as the pure-JAX
+    test twin. ``params`` = (w_in, b_in, w_hid [L,H,H], b_hid [L,H], w_out,
+    b_out); ``u`` = [B, 2] uniforms.
+
+    Returns (loss, grads_tuple)."""
+    w_in, b_in, w_hid, b_hid, w_out, b_out = params
+    X, x_interior = _stack_inputs(u, B, x_max, t_max)
+    mask = _bias_mask(B, X.dtype)
+
+    # ---- forward, saving pre-activations ----
+    zs = []
+    acts = [X]
+    z = jnp.dot(X, w_in, precision=_HIGH) + mask * b_in
+    zs.append(z)
+    a = _act_fwd(z, B)
+    for l in range(L):
+        acts.append(a)
+        z = jnp.dot(a, w_hid[l], precision=_HIGH) + mask * b_hid[l]
+        zs.append(z)
+        a = _act_fwd(z, B)
+    acts.append(a)
+    out = jnp.dot(a, w_out, precision=_HIGH) + mask * b_out
+
+    u_xx = out[2 * B:3 * B]
+    u_t = out[3 * B:4 * B]
+    u0 = out[4 * B:5 * B]
+    ub1 = out[5 * B:6 * B]
+    ub2 = out[6 * B:]
+    r = u_t - kappa * u_xx
+    r0 = u0 - jnp.sin(x_interior)
+    loss = jnp.mean(r * r + r0 * r0 + ub1 * ub1 + ub2 * ub2)
+
+    # ---- output-grad assembly ----
+    s = 2.0 / B
+    zeros = jnp.zeros_like(r)
+    G = jnp.concatenate([zeros, zeros, -kappa * s * r, s * r,
+                         s * r0, s * ub1, s * ub2], 0)
+
+    # ---- backward ----
+    d_w_out = _dot_tn(acts[-1], G)
+    d_b_out = jnp.sum(mask * G, axis=0)
+    g = _dot_nt(G, w_out)
+
+    d_w_hid = []
+    d_b_hid = []
+    for l in range(L - 1, -1, -1):
+        dz = _act_bwd(zs[l + 1], g, B)
+        d_w_hid.append(_dot_tn(acts[l + 1], dz))
+        d_b_hid.append(jnp.sum(mask * dz, axis=0))
+        g = _dot_nt(dz, w_hid[l])
+    d_w_hid = jnp.stack(d_w_hid[::-1]) if L > 0 else jnp.zeros_like(w_hid)
+    d_b_hid = jnp.stack(d_b_hid[::-1]) if L > 0 else jnp.zeros_like(b_hid)
+
+    dz = _act_bwd(zs[0], g, B)
+    d_w_in = _dot_tn(acts[0], dz)
+    d_b_in = jnp.sum(mask * dz, axis=0)
+
+    return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out, d_b_out)
+
+
+def _dot_tn(a, b):
+    """aᵀ @ b without materialising the transpose: contract dim 0 of both
+    operands (MXU consumes the layout natively via dimension numbers)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               precision=_HIGH,
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ bᵀ without materialising the transpose: contract last dims."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=_HIGH,
+                               preferred_element_type=jnp.float32)
+
+
+def _adam_update(p, m, v, g, lr, t):
+    """Adam with torch defaults; t is the 1-indexed global step (float)."""
+    m = _B1 * m + (1.0 - _B1) * g
+    v = _B2 * v + (1.0 - _B2) * (g * g)
+    c1 = 1.0 - jnp.exp(t * math.log(_B1))
+    c2 = 1.0 - jnp.exp(t * math.log(_B2))
+    p = p - lr * (m / c1) / (jnp.sqrt(v / c2) + _EPS)
+    return p, m, v
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+_N_TENSORS = 6  # w_in, b_in, w_hid, b_hid, w_out, b_out
+
+
+def _train_kernel(B, L, x_max, t_max, kappa, lr,
+                  step0_ref, u_ref, *refs):
+    # refs layout: params_in (6), m_in (6), v_in (6),
+    #              losses_out, params_out (6), m_out (6), v_out (6)
+    p_in = refs[0:6]
+    m_in = refs[6:12]
+    v_in = refs[12:18]
+    loss_ref = refs[18]
+    p_out = refs[19:25]
+    m_out = refs[25:31]
+    v_out = refs[31:37]
+
+    i = pl.program_id(0)
+
+    # First step: copy initial state into the VMEM-resident output buffers.
+    @pl.when(i == 0)
+    def _():
+        for k in range(_N_TENSORS):
+            p_out[k][:] = p_in[k][:]
+            m_out[k][:] = m_in[k][:]
+            v_out[k][:] = v_in[k][:]
+
+    params = tuple(p_out[k][:] for k in range(_N_TENSORS))
+    u = u_ref[0]                       # [B, 2] uniforms for this step
+
+    loss, grads = fused_step_math(params, u, B, L, x_max, t_max, kappa)
+    loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
+
+    t = (step0_ref[0] + i + 1).astype(jnp.float32)
+    for k in range(_N_TENSORS):
+        p_new, m_new, v_new = _adam_update(
+            p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr, t)
+        p_out[k][:] = p_new
+        m_out[k][:] = m_new
+        v_out[k][:] = v_new
+
+
+def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
+                           x_max=math.pi, t_max=3.0, kappa=1.0):
+    """Run ``K = uniforms.shape[0]`` Adam steps entirely inside one Pallas
+    kernel. ``params``/``m``/``v`` are the flat tuples
+    (w_in, b_in, w_hid, b_hid, w_out, b_out); ``uniforms`` is [K, B, 2] of
+    U[0,1) draws (from jax.random, so runs are reproducible).
+
+    Returns (params, m, v, losses[K])."""
+    if model.batch_norm is not None or model.activation != "tanh":
+        raise ValueError("fused train kernel supports plain tanh MLPs only")
+    K, B, _ = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+
+    kernel = functools.partial(_train_kernel, B, L, float(x_max),
+                               float(t_max), float(kappa), float(lrate))
+
+    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    # Whole-array blocks with a constant index_map: Pallas keeps revisited
+    # blocks resident in VMEM across grid steps, so the optimiser state
+    # never touches HBM between steps.
+    state_specs = [
+        pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=(
+            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_specs=(
+            # Loss history: whole (K,1) array resident in VMEM, written at
+            # row i each grid step (per-step (1,1) blocks violate TPU
+            # tiling rules in both VMEM and SMEM).
+            [pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((K, 1), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([step0], jnp.int32), uniforms, *params, *m, *v)
+
+    losses = out[0][:, 0]
+    p_new = tuple(out[1:7])
+    m_new = tuple(out[7:13])
+    v_new = tuple(out[13:19])
+    return p_new, m_new, v_new, losses
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver: flat-tuple packing + chunked training loop
+# ---------------------------------------------------------------------------
+
+
+def pack_params(model, params):
+    """MLP pytree → flat tuple for the kernel."""
+    L, H = model.num_layers, model.hidden_size
+    w_hid = params["hidden"]["w"] if L > 0 else jnp.zeros((1, H, H))
+    b_hid = params["hidden"].get("b")
+    if b_hid is None or L == 0:
+        b_hid = jnp.zeros((max(L, 1), H))
+    return (params["fc_in"]["w"], params["fc_in"]["b"], w_hid, b_hid,
+            params["fc_out"]["w"], params["fc_out"]["b"])
+
+
+def unpack_params(model, flat):
+    w_in, b_in, w_hid, b_hid, w_out, b_out = flat
+    return {
+        "fc_in": {"w": w_in, "b": b_in},
+        "hidden": {"w": w_hid, "b": b_hid},
+        "fc_out": {"w": w_out, "b": b_out},
+    }
+
+
+def train_heat_fused(problem, key, iterations, batch_size=64, lrate=1e-4,
+                     chunk_size=5000, model=None, params=None):
+    """Train the heat equation with the fused kernel. Returns
+    (params_pytree, losses np[iterations])."""
+    model = model or problem.default_model()
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_params(model, params)
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+
+    run = jax.jit(functools.partial(
+        heat_fused_train_chunk, model,
+        x_max=problem.x_max, t_max=problem.t_max, kappa=problem.kappa,
+        lrate=lrate,
+    ), static_argnames=())
+
+    losses_out = []
+    done = 0
+    while done < iterations:
+        k = min(chunk_size, iterations - done)
+        u = jax.random.uniform(jax.random.fold_in(run_key, done), (k, batch_size, 2))
+        flat, m, v, losses = run(flat, m, v, u, done)
+        losses_out.append(np.asarray(losses))
+        done += k
+    return unpack_params(model, flat), np.concatenate(losses_out)

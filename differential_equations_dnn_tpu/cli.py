@@ -42,6 +42,8 @@ ARTIFACTS = {
                    "test_simple_ode_sol", "figs/simple_ode_solution.pdf"),
     "heat": ("heat_sol_1d_dgm", "heat_sol_1d_dgm_loss",
              "heat_sol_exact_1d", "figs/heat_1dim_solution.pdf"),
+    "heat2d": ("heat_sol_2d_dgm", "heat_sol_2d_dgm_loss",
+               "heat_sol_exact_2d", "figs/heat_2dim_solution.pdf"),
     "fredholm": ("fredholm_approx", "fredholm_loss",
                  "fredholm_exact", "figs/fredholm_solution.pdf"),
     "fitzhugh_nagumo": ("new_fn_solution_dgm", "new_fn_loss_dgm",
@@ -160,6 +162,14 @@ def _plot(problem, args):
     if problem.name == "heat":
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
+    elif problem.name == "heat2d":
+        # Plot the mid-time (x, y) slice of the 3-D solution cube.
+        mid = y_approx.shape[0] // 2
+        _, mae = viz.plot_heat(y_exact[mid], y_approx[mid], loss, args.niters,
+                               savepath=savepath)
+        from differential_equations_dnn_tpu.train.metrics import mean_absolute_error
+
+        mae = mean_absolute_error(y_exact, y_approx)  # full-cube MAE
     elif problem.name == "fitzhugh_nagumo":
         grid = np.asarray(problem.grid_inputs(len(y_approx)))[:, 0]
         _, mae = viz.plot_fitzhugh_nagumo(grid, y_exact, y_approx, loss,
@@ -263,7 +273,8 @@ def build_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name.replace("_", "-"), help=f"solve {name}")
         _add_common_flags(p, PROBLEMS[name]().defaults)
         if name == "fredholm":
-            p.add_argument("--quadrature", choices=["montecarlo", "gauss"],
+            p.add_argument("--quadrature",
+                           choices=["montecarlo", "gauss", "halton"],
                            default="montecarlo")
             p.add_argument("--quad-nodes", type=int, default=50)
         p.set_defaults(func=lambda a, n=name: _cmd_equation(n, a))

@@ -9,6 +9,7 @@ is ONE declarative object consumed by the single jitted trainer in ``train``.
 from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.equations.simple_ode import SimpleODE
 from differential_equations_dnn_tpu.equations.heat import Heat1D
+from differential_equations_dnn_tpu.equations.heat2d import Heat2D
 from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
 from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
 from differential_equations_dnn_tpu.equations.uat import SineFit
@@ -16,6 +17,7 @@ from differential_equations_dnn_tpu.equations.uat import SineFit
 PROBLEMS = {
     "simple_ode": SimpleODE,
     "heat": Heat1D,
+    "heat2d": Heat2D,
     "fredholm": Fredholm2,
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
@@ -26,6 +28,7 @@ __all__ = [
     "TrainDefaults",
     "SimpleODE",
     "Heat1D",
+    "Heat2D",
     "Fredholm2",
     "FitzHughNagumo",
     "SineFit",

@@ -32,7 +32,7 @@ class Fredholm2(Problem):
     name: str = "fredholm"
     upper: float = math.pi / 2.0
     k: int = 50                      # quadrature nodes
-    quadrature: str = "montecarlo"   # "montecarlo" | "gauss"
+    quadrature: str = "montecarlo"   # "montecarlo" | "gauss" | "halton"
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=3000, batch_size=32, nodes=50)
     )
@@ -48,6 +48,15 @@ class Fredholm2(Problem):
         x = self.upper * jax.random.uniform(kx, (n, 1))
         if self.quadrature == "gauss":
             nodes, weights = gauss_legendre_nodes(self.k, 0.0, self.upper)
+            tq = jnp.broadcast_to(nodes[None, :], (n, self.k))
+            wq = jnp.broadcast_to(weights[None, :], (n, self.k))
+        elif self.quadrature == "halton":
+            # Low-discrepancy nodes, fresh window per step (offset keyed).
+            from differential_equations_dnn_tpu.ops import halton_nodes
+
+            offset = jax.random.randint(kq, (), 0, 1 << 20)
+            nodes, weights = halton_nodes(self.k, 0.0, self.upper,
+                                          offset=offset)
             tq = jnp.broadcast_to(nodes[None, :], (n, self.k))
             wq = jnp.broadcast_to(weights[None, :], (n, self.k))
         else:

@@ -1,0 +1,85 @@
+"""2-D heat equation (capability extension beyond the reference):
+
+    u_t = κ·(u_xx + u_yy)   on (x, y) ∈ [0, π]², t ∈ [0, T]
+    u(x, y, 0) = sin x · sin y,   u = 0 on the boundary
+    exact: u = sin x · sin y · e^{−2κt}
+
+Demonstrates that the declarative Problem interface and the forward-mode tap
+library scale to higher-dimensional PDEs: the Laplacian is two jvp-over-jvp
+taps (one per spatial axis), the boundary contributes four edge terms, and
+the same jitted trainer/serving/sweep machinery applies unchanged. No
+counterpart exists in the reference repository (its only PDE is 1-D,
+heat.py); included for parity-plus.
+"""
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
+from differential_equations_dnn_tpu.models import MLP
+from differential_equations_dnn_tpu.ops import value_dt, value_dx_dxx
+
+
+@dataclass(frozen=True)
+class Heat2D(Problem):
+    name: str = "heat2d"
+    kappa: float = 1.0
+    x_max: float = math.pi
+    t_max: float = 1.0
+    defaults: TrainDefaults = field(
+        default_factory=lambda: TrainDefaults(iterations=20000, batch_size=256,
+                                              lrate=1e-3, nodes=24)
+    )
+
+    def default_model(self):
+        return MLP(input_dim=3, output_dim=1, hidden_size=128, num_layers=3,
+                   activation="tanh")
+
+    def sample(self, key, n):
+        kxy, kt, kb = jax.random.split(key, 3)
+        xy = self.x_max * jax.random.uniform(kxy, (n, 2))
+        t = self.t_max * jax.random.uniform(kt, (n, 1))
+        zeros = jnp.zeros((n, 1))
+        x, y = xy[:, :1], xy[:, 1:]
+        pi = jnp.full((n, 1), self.x_max)
+        # One representative point per boundary face per sample (4 faces).
+        edge = self.x_max * jax.random.uniform(kb, (n, 1))
+        return {
+            "xt": jnp.concatenate([xy, t], axis=1),
+            "x0": jnp.concatenate([xy, zeros], axis=1),
+            "b_x0": jnp.concatenate([zeros, edge, t], axis=1),
+            "b_x1": jnp.concatenate([pi, edge, t], axis=1),
+            "b_y0": jnp.concatenate([edge, zeros, t], axis=1),
+            "b_y1": jnp.concatenate([edge, pi, t], axis=1),
+        }
+
+    def point_loss(self, apply_fn, params, batch):
+        f = lambda z: apply_fn(params, z)
+        _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
+        _, _, u_yy = value_dx_dxx(f, batch["xt"], x_axis=1)
+        _, u_t = value_dt(f, batch["xt"], t_axis=2)
+        r_domain = u_t - self.kappa * (u_xx + u_yy)
+        r_init = f(batch["x0"]) - (jnp.sin(batch["x0"][:, :1])
+                                   * jnp.sin(batch["x0"][:, 1:2]))
+        r_b = sum(jnp.square(f(batch[k]))
+                  for k in ("b_x0", "b_x1", "b_y0", "b_y1"))
+        return (jnp.square(r_domain) + jnp.square(r_init) + r_b)[:, 0]
+
+    def grid_inputs(self, nodes):
+        t = jnp.linspace(0.0, self.t_max, nodes)
+        x = jnp.linspace(0.0, self.x_max, nodes)
+        tt, xx, yy = jnp.meshgrid(t, x, x, indexing="ij")
+        return jnp.stack([xx.ravel(), yy.ravel(), tt.ravel()], axis=1)
+
+    def solution_shape(self, nodes):
+        return (nodes, nodes, nodes)
+
+    def exact(self, nodes):
+        t = np.linspace(0.0, self.t_max, nodes)
+        x = np.linspace(0.0, self.x_max, nodes)
+        field_xy = np.sin(x)[:, None] * np.sin(x)[None, :]
+        return field_xy[None] * np.exp(-2.0 * self.kappa * t)[:, None, None]

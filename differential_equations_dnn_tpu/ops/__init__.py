@@ -12,6 +12,7 @@ from differential_equations_dnn_tpu.ops.diff import (
 from differential_equations_dnn_tpu.ops.quad import (
     montecarlo_nodes,
     gauss_legendre_nodes,
+    halton_nodes,
     integrate,
 )
 from differential_equations_dnn_tpu.ops.sampling import UniformBox, GridSubsample
@@ -26,6 +27,7 @@ __all__ = [
     "time_jacobian",
     "montecarlo_nodes",
     "gauss_legendre_nodes",
+    "halton_nodes",
     "integrate",
     "UniformBox",
     "GridSubsample",

@@ -37,6 +37,33 @@ def gauss_legendre_nodes(k, a=0.0, b=1.0):
     return jnp.asarray(nodes), jnp.asarray(weights)
 
 
+def halton_nodes(k, a=0.0, b=1.0, base=2, offset=0):
+    """Quasi-Monte-Carlo nodes: the base-``base`` Halton (van der Corput)
+    low-discrepancy sequence mapped to [a, b], with constant weights.
+
+    QMC error decays ~O(log k / k) vs Monte-Carlo's O(1/√k) — a drop-in
+    upgrade for the Fredholm quadrature when deterministic Gauss–Legendre is
+    not wanted (e.g. kernels with limited smoothness). Computed on device
+    with integer bit arithmetic; ``offset`` shifts the sequence start so
+    successive training steps see fresh node sets."""
+    # Static-length arange + traced offset (offset may be a traced value
+    # inside jitted training steps).
+    idx = jnp.arange(1, k + 1, dtype=jnp.uint32) + jnp.asarray(offset, jnp.uint32)
+    result = jnp.zeros((k,), jnp.float32)
+    denom = jnp.ones((k,), jnp.float32)
+    # 32 digits cover indices < base^32; fori keeps it jit-friendly.
+    def body(_, carry):
+        idx, result, denom = carry
+        denom = denom * base
+        result = result + (idx % base).astype(jnp.float32) / denom
+        return idx // base, result, denom
+
+    _, result, _ = jax.lax.fori_loop(0, 32, body, (idx, result, denom))
+    nodes = a + (b - a) * result
+    weights = jnp.full((k,), (b - a) / k)
+    return nodes, weights
+
+
 def integrate(values, weights):
     """Σ_i w_i · f_i along the last axis. ``values``: [..., k]; ``weights``:
     [k] or broadcastable."""

@@ -121,3 +121,32 @@ def test_evaluate_grid_batched(key):
     assert out.shape == (16, 16)
     mae = prob.mae(model.apply, params, nodes=16)
     assert np.isfinite(mae)
+
+
+def test_heat2d_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Heat2D
+
+    prob = Heat2D()
+    exact = _exact_apply(
+        lambda z: (jnp.sin(z[..., :1]) * jnp.sin(z[..., 1:2])
+                   * jnp.exp(-2.0 * z[..., 2:3]))
+    )
+    batch = prob.sample(key, 64)
+    assert float(prob.loss(exact, None, batch)) < 1e-9
+    assert prob.exact(12).shape == (12, 12, 12)
+    # exact field respects boundaries and IC
+    sol = prob.exact(12)
+    np.testing.assert_allclose(sol[:, 0, :], 0.0, atol=1e-12)
+    np.testing.assert_allclose(sol[:, :, -1], 0.0, atol=1e-10)
+
+
+def test_heat2d_short_training_decreases_loss(key):
+    from differential_equations_dnn_tpu.equations import Heat2D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = Heat2D()
+    cfg = TrainConfig(iterations=150, batch_size=64, lrate=1e-3, verbose=False)
+    res = train(prob, key, cfg)
+    assert res.loss_history[-1] < res.loss_history[0] * 0.8
+    out = prob.evaluate(prob.default_model().apply, res.params, nodes=8)
+    assert out.shape == (8, 8, 8)

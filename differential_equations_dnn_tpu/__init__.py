@@ -30,6 +30,7 @@ __version__ = "0.1.0"
 from differential_equations_dnn_tpu import core, models, ops, equations, train
 from differential_equations_dnn_tpu import parallel, sweep, utils
 from differential_equations_dnn_tpu.api import solve, SolveResult
+from differential_equations_dnn_tpu.serving import export_solution, load_solution
 
 __all__ = [
     "core",
@@ -42,5 +43,7 @@ __all__ = [
     "utils",
     "solve",
     "SolveResult",
+    "export_solution",
+    "load_solution",
     "__version__",
 ]

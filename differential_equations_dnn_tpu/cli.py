@@ -65,6 +65,9 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
                    help="save trained params/opt_state to this directory")
     p.add_argument("--restore", type=str, default=None,
                    help="resume training from a checkpoint directory")
+    p.add_argument("--export", type=str, default=None, dest="export_path",
+                   help="serialise the trained solution (StableHLO via "
+                        "jax.export) to this file for serving")
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the collocation batch over N devices (0 = off)")
@@ -111,6 +114,12 @@ def _solve(problem, args):
         save_checkpoint(args.checkpoint,
                         {"params": result.params,
                          "step": np.asarray((start_step or 0) + args.niters)})
+    if args.export_path:
+        from differential_equations_dnn_tpu.serving import export_solution
+
+        export_solution(model.apply, result.params,
+                        input_dim=model.input_dim, path=args.export_path)
+        print(f"Exported solution artifact to {args.export_path}")
     parameters_summary(
         {"equation": problem.name, "iterations": args.niters,
          "batch_size": args.batch_size, "lrate": args.lrate,
@@ -186,6 +195,8 @@ def _cmd_equation(name, args):
     problem_cls = PROBLEMS[name]
     if name == "fredholm":
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
+    elif name == "fitzhugh_nagumo":
+        problem = problem_cls(arch=args.arch)
     else:
         problem = problem_cls()
     if args.solve:
@@ -277,6 +288,12 @@ def build_parser() -> argparse.ArgumentParser:
                            choices=["montecarlo", "gauss", "halton"],
                            default="montecarlo")
             p.add_argument("--quad-nodes", type=int, default=50)
+        if name == "fitzhugh_nagumo":
+            p.add_argument("--arch", choices=["dgm", "fourier_mlp"],
+                           default="dgm",
+                           help="dgm = reference parity (init-sensitive; "
+                                "pair with --ensemble); fourier_mlp = "
+                                "seed-robust, ~10x lower MAE")
         p.set_defaults(func=lambda a, n=name: _cmd_equation(n, a))
 
     p = sub.add_parser("sweep", help="population hyperparameter search "

@@ -63,6 +63,12 @@ class MLP:
     num_layers: int = 1
     activation: str = "relu"
     batch_norm: str | None = None  # None | "pre" | "post"
+    # Random Fourier feature embedding (beyond the reference; Tancik et al.
+    # 2020): x → [sin(2π B x), cos(2π B x)] with frozen B ~ N(0, σ²),
+    # 2·fourier_features columns. Cures the spectral bias that makes plain
+    # MLPs struggle on oscillatory solutions (e.g. FitzHugh–Nagumo).
+    fourier_features: int = 0
+    fourier_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
@@ -84,14 +90,19 @@ class MLP:
         gain = 1.0 if is_output else calculate_gain(self.activation)
         return xavier_uniform(key, shape, gain, self.dtype)
 
+    @property
+    def _embed_dim(self):
+        return (2 * self.fourier_features if self.fourier_features
+                else self.input_dim)
+
     def init(self, key):
-        kin, khid, kout, kb = jax.random.split(key, 4)
+        kin, khid, kout, kb, kf = jax.random.split(key, 5)
         H, L = self.hidden_size, self.num_layers
         use_bias = self.batch_norm is None
 
         params = {
             "fc_in": {
-                "w": self._weight(kin, (self.input_dim, H), is_output=False)
+                "w": self._weight(kin, (self._embed_dim, H), is_output=False)
             },
             "hidden": {
                 "w": jax.vmap(
@@ -104,12 +115,18 @@ class MLP:
                 "w": self._weight(kout, (H, self.output_dim), is_output=True)
             },
         }
+        if self.fourier_features:
+            # Frozen embedding matrix (stop-gradient applied in the forward).
+            params["fourier"] = {
+                "b": self.fourier_scale * jax.random.normal(
+                    kf, (self.input_dim, self.fourier_features), self.dtype)
+            }
         if use_bias:
             # Reference reset() re-inits weights only; biases keep the torch
             # nn.Linear default distribution (neural_networks.py:247-270).
             kbi, kbh, kbo = jax.random.split(kb, 3)
             params["fc_in"]["b"] = torch_linear_default(
-                kbi, (self.input_dim, H), dtype=self.dtype
+                kbi, (self._embed_dim, H), dtype=self.dtype
             )[1]
             params["hidden"]["b"] = (
                 jax.vmap(lambda k: torch_linear_default(k, (H, H), dtype=self.dtype)[1])(
@@ -152,6 +169,11 @@ class MLP:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None, :]
+
+        if self.fourier_features:
+            B = lax.stop_gradient(params["fourier"]["b"])
+            proj = 2.0 * jnp.pi * jnp.dot(x, B)
+            x = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
         if self.batch_norm is None:
             h = act(dense(x, params["fc_in"]["w"], params["fc_in"].get("b")))

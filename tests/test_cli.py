@@ -101,3 +101,13 @@ def test_ensemble_flag(tmp_path):
     main(["simple-ode", "--solve", "--niters", "60", "--batch-size", "8",
           "--nnodes", "5", "--ensemble", "3", "--results-dir", rd])
     assert np.load(Path(rd) / "test_simple_ode_nn_loss.npy").shape == (60,)
+
+
+def test_export_flag(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    ex = str(tmp_path / "sol.stablehlo")
+    main(["simple-ode", "--solve", "--niters", "50", "--batch-size", "8",
+          "--nnodes", "5", "--export", ex, "--results-dir", rd])
+    from differential_equations_dnn_tpu.serving import load_solution
+    fn = load_solution(ex)
+    assert fn(np.zeros((3, 1), np.float32)).shape == (3, 1)

@@ -150,3 +150,20 @@ def test_heat2d_short_training_decreases_loss(key):
     assert res.loss_history[-1] < res.loss_history[0] * 0.8
     out = prob.evaluate(prob.default_model().apply, res.params, nodes=8)
     assert out.shape == (8, 8, 8)
+
+
+def test_fitzhugh_nagumo_arch_variants(key):
+    from differential_equations_dnn_tpu.equations import FitzHughNagumo
+
+    dgm = FitzHughNagumo().default_model()
+    fmlp = FitzHughNagumo(arch="fourier_mlp").default_model()
+    assert type(dgm).__name__ == "DGM"
+    assert fmlp.fourier_features == 16
+    with pytest.raises(ValueError, match="unknown arch"):
+        FitzHughNagumo(arch="transformer").default_model()
+    # fourier model trains through the FN loss
+    prob = FitzHughNagumo(arch="fourier_mlp")
+    params = fmlp.init(key)
+    batch = prob.sample(key, 16)
+    loss = prob.loss(fmlp.apply, params, batch)
+    assert np.isfinite(float(loss))

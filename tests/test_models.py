@@ -162,3 +162,23 @@ def test_models_are_vmap_compatible(key):
     assert y.shape == (4, 8, 1)
     # Distinct inits must give distinct outputs.
     assert not np.allclose(np.asarray(y[0]), np.asarray(y[1]))
+
+
+def test_fourier_feature_mlp(key):
+    """Fourier-embedded MLP: shapes, frozen B, twice-differentiable."""
+    model = MLP(input_dim=1, output_dim=2, hidden_size=16, num_layers=2,
+                activation="tanh", fourier_features=8, fourier_scale=0.5)
+    params = model.init(key)
+    assert params["fourier"]["b"].shape == (1, 8)
+    assert params["fc_in"]["w"].shape == (16, 16)  # 2*8 embed dim
+    x = jnp.linspace(0, 1, 5)[:, None]
+    y = model.apply(params, x)
+    assert y.shape == (5, 2)
+    # The embedding matrix must receive zero gradient (frozen).
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    np.testing.assert_allclose(np.asarray(g["fourier"]["b"]), 0.0)
+    # Second derivatives flow (needed for PDE residuals).
+    from differential_equations_dnn_tpu.ops import value_dx_dxx
+
+    _, _, d2 = value_dx_dxx(lambda z: model.apply(params, z), x, x_axis=0)
+    assert np.isfinite(np.asarray(d2)).all()

@@ -250,6 +250,11 @@ def _cmd_ablation_batchsize(args):
                             iterations=args.niters)
     for label, curve in zip(res.labels, res.mean_losses):
         save_array(f"heat_loss_bs_{label}", curve, directory=args.results_dir)
+    # Reference-compatible pickle (batchsize_effect_heat.py:204-205).
+    import pickle
+
+    with (Path(args.results_dir) / "losses.pkl").open("wb") as f:
+        pickle.dump({int(l): c for l, c in zip(res.labels, res.mean_losses)}, f)
     savepath = "figs/batchsize_effect.pdf" if args.savefig else None
     viz.plot_ablation(res.as_dict(), savepath=savepath)
     return res
@@ -306,6 +311,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
     p.add_argument("--results-dir", type=str, default="temp_results")
+    p.add_argument("--platform", type=str, default=None)
     p.set_defaults(func=_cmd_sweep)
 
     for cmd, fn, niters in [("ablation-batchsize", _cmd_ablation_batchsize, 15000),
@@ -316,6 +322,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--savefig", action="store_true")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--results-dir", type=str, default="temp_results")
+        p.add_argument("--platform", type=str, default=None)
         p.set_defaults(func=fn)
 
     return parser

@@ -41,10 +41,10 @@ def main():
     problem = Heat1D(taps="taylor")
     model = problem.default_model()
 
-    # Steady-state measurement: the full reference budget (15k iters) in
-    # large chunks; compile time is measured separately by the trainer.
+    # Steady-state measurement: the full reference budget (15k iters) as ONE
+    # scan dispatch; compile time is measured separately by the trainer.
     config = TrainConfig(iterations=15_000, batch_size=64, lrate=1e-4,
-                         chunk_size=5_000, verbose=False)
+                         chunk_size=15_000, verbose=False)
     result = train(problem, jax.random.key(42), config)
     mae = problem.mae(model.apply, result.params, nodes=40)
 

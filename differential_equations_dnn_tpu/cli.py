@@ -24,10 +24,7 @@ import numpy as np
 
 import jax
 
-from differential_equations_dnn_tpu.equations import (
-    PROBLEMS,
-    Fredholm2,
-)
+from differential_equations_dnn_tpu.equations import PROBLEMS
 from differential_equations_dnn_tpu.train import TrainConfig, train, save_checkpoint
 from differential_equations_dnn_tpu.utils import (
     fn_timer,
@@ -209,7 +206,6 @@ def _cmd_equation(name, args):
 
 def _cmd_sweep(args):
     from differential_equations_dnn_tpu.sweep import random_search, successive_halving
-    from differential_equations_dnn_tpu.sweep.search import heat_search_space
 
     problem = PROBLEMS[args.equation]()
     key = jax.random.key(args.seed)

@@ -8,7 +8,6 @@ on the compute path by default; it costs nothing at these sizes. Large-batch
 population sweeps can opt into lower precision via the ``precision`` argument.
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 from scipy.integrate import odeint
 
-from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.models import DGM
 from differential_equations_dnn_tpu.ops import GridSubsample, time_jacobian
 

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.models import DGM
 from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.models import MLP
 from differential_equations_dnn_tpu.ops import value_dt, value_dx_dxx
 

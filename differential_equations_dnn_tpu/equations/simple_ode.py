@@ -10,7 +10,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults, mse
+from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.models import MLP
 from differential_equations_dnn_tpu.ops import UniformBox, value_dt
 

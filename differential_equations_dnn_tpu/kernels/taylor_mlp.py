@@ -19,7 +19,6 @@ test suite exercises them on CPU.
 """
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

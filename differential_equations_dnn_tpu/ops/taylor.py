@@ -24,7 +24,6 @@ Reference hot path replaced: heat.py:73-85's two nested reverse taps.
 import jax.numpy as jnp
 from jax import lax
 
-from differential_equations_dnn_tpu.core.activations import get_activation
 from differential_equations_dnn_tpu.core.precision import DOT_PRECISION
 
 _TAYLOR_ACTS = ("tanh", "relu", "sigmoid", "identity")

@@ -22,7 +22,7 @@ TPU-first structure:
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any
 

@@ -194,6 +194,8 @@ def _cmd_equation(name, args):
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
         problem = problem_cls(arch=args.arch)
+    elif name == "heat":
+        problem = problem_cls(taps=args.taps)
     else:
         problem = problem_cls()
     if args.solve:
@@ -289,6 +291,11 @@ def build_parser() -> argparse.ArgumentParser:
                            choices=["montecarlo", "gauss", "halton"],
                            default="montecarlo")
             p.add_argument("--quad-nodes", type=int, default=50)
+        if name == "heat":
+            p.add_argument("--taps", choices=["jvp", "taylor", "pallas"],
+                           default="taylor",
+                           help="derivative-tap path; taylor = fused stacked "
+                                "streams (fastest, default), jvp = generic")
         if name == "fitzhugh_nagumo":
             p.add_argument("--arch", choices=["dgm", "fourier_mlp"],
                            default="dgm",

@@ -33,10 +33,15 @@ class Heat1D(Problem):
     # Derivative-tap implementation:
     #   "jvp"    — generic jvp-over-jvp taps; works with ANY model (incl. BN).
     #   "taylor" — stacked Taylor streams, one matmul per layer for all 7
-    #              logical evaluations (ops.taylor); plain default MLP only.
+    #              logical evaluations (ops.taylor); plain MLPs only.
     #   "pallas" — Pallas TPU kernel of the same fused computation
-    #              (kernels.taylor_mlp); plain default MLP only.
+    #              (kernels.taylor_mlp); plain MLPs only.
+    # The fused paths need the MLP *structure*, not just apply_fn: they read
+    # ``taps_model`` (defaults to default_model()). If you train a custom
+    # plain MLP with fused taps, pass the SAME config here — a mismatch
+    # raises at trace time via pytree-structure disagreement.
     taps: str = "jvp"
+    taps_model: object = None
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=15000, batch_size=64, nodes=40)
     )
@@ -67,9 +72,9 @@ class Heat1D(Problem):
             r_b1 = f(batch["xb1"])
             r_b2 = f(batch["xb2"])
         else:
-            # Fused stacked-stream paths (plain default MLP only): all 7
-            # network evaluations in one matmul chain per layer.
-            model = self.default_model()
+            # Fused stacked-stream paths (plain MLPs only): all 7 network
+            # evaluations in one matmul chain per layer.
+            model = self.taps_model or self.default_model()
             if self.taps == "taylor":
                 from differential_equations_dnn_tpu.ops.taylor import heat_fused_streams
 

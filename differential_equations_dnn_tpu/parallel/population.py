@@ -83,6 +83,11 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
         opt_state = jax.vmap(opt.init)(params)
 
     if mesh is not None:
+        n_shards = mesh.shape[config.pop_axis]
+        if n_trials % n_shards:
+            raise ValueError(
+                f"population size {n_trials} must divide evenly over the "
+                f"'{config.pop_axis}' mesh axis ({n_shards} shards)")
         pop_sharding = NamedSharding(mesh, P(config.pop_axis))
         put = lambda t: jax.tree.map(lambda a: jax.device_put(a, pop_sharding), t)
         params, opt_state = put(params), put(opt_state)

@@ -111,3 +111,10 @@ def test_export_flag(tmp_path):
     from differential_equations_dnn_tpu.serving import load_solution
     fn = load_solution(ex)
     assert fn(np.zeros((3, 1), np.float32)).shape == (3, 1)
+
+
+def test_heat_taps_flag(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    main(["heat", "--solve", "--niters", "40", "--batch-size", "16",
+          "--nnodes", "8", "--taps", "taylor", "--results-dir", rd])
+    assert np.load(Path(rd) / "heat_sol_1d_dgm_loss.npy").shape == (40,)

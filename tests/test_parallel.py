@@ -121,3 +121,13 @@ def test_population_resume_continues(key):
     p2, o2, l2 = train_population(prob, model, key, lrates, config=c2,
                                   params=p1, opt_state=o1)
     assert l2[0].max() < l1[0].max()  # warm start, loss already low
+
+
+def test_population_rejects_indivisible_sharding(key):
+    prob = SimpleODE()
+    model = prob.default_model()
+    mesh = single_axis_mesh("pop")
+    with pytest.raises(ValueError, match="divide evenly"):
+        train_population(prob, model, key, jnp.full((5,), 1e-3),
+                         config=PopulationConfig(iterations=1, max_batch_size=4),
+                         mesh=mesh)

@@ -194,7 +194,7 @@ def _cmd_equation(name, args):
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
         problem = problem_cls(arch=args.arch)
-    elif name == "heat":
+    elif name in ("heat", "heat2d"):
         problem = problem_cls(taps=args.taps)
     else:
         problem = problem_cls()
@@ -296,6 +296,9 @@ def build_parser() -> argparse.ArgumentParser:
                            default="taylor",
                            help="derivative-tap path; taylor = fused stacked "
                                 "streams (fastest, default), jvp = generic")
+        if name == "heat2d":
+            p.add_argument("--taps", choices=["jvp", "taylor"],
+                           default="taylor")
         if name == "fitzhugh_nagumo":
             p.add_argument("--arch", choices=["dgm", "fourier_mlp"],
                            default="dgm",

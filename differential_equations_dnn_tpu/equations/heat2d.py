@@ -30,6 +30,11 @@ class Heat2D(Problem):
     kappa: float = 1.0
     x_max: float = math.pi
     t_max: float = 1.0
+    # "jvp" = generic taps (any model); "taylor" = generalized stacked
+    # streams (ops.taylor.mlp_streams): value + (x, xx) + (y, yy) + t
+    # + 5 constraint forwards = 11 logical streams, ONE matmul per layer.
+    taps: str = "jvp"
+    taps_model: object = None
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=20000, batch_size=256,
                                               lrate=1e-3, nodes=24)
@@ -58,15 +63,33 @@ class Heat2D(Problem):
         }
 
     def point_loss(self, apply_fn, params, batch):
-        f = lambda z: apply_fn(params, z)
-        _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
-        _, _, u_yy = value_dx_dxx(f, batch["xt"], x_axis=1)
-        _, u_t = value_dt(f, batch["xt"], t_axis=2)
+        if self.taps == "taylor":
+            from differential_equations_dnn_tpu.ops.taylor import mlp_streams
+
+            model = self.taps_model or self.default_model()
+            _, (u_xx, u_yy), _, (u_t,), cons = mlp_streams(
+                model, params, batch["xt"],
+                second_dirs=([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+                first_dirs=([0.0, 0.0, 1.0],),
+                constraints=(batch["x0"], batch["b_x0"], batch["b_x1"],
+                             batch["b_y0"], batch["b_y1"]),
+            )
+            u0, b1, b2, b3, b4 = cons
+            r_init = u0 - (jnp.sin(batch["x0"][:, :1])
+                           * jnp.sin(batch["x0"][:, 1:2]))
+            r_b = sum(jnp.square(b) for b in (b1, b2, b3, b4))
+        elif self.taps == "jvp":
+            f = lambda z: apply_fn(params, z)
+            _, _, u_xx = value_dx_dxx(f, batch["xt"], x_axis=0)
+            _, _, u_yy = value_dx_dxx(f, batch["xt"], x_axis=1)
+            _, u_t = value_dt(f, batch["xt"], t_axis=2)
+            r_init = f(batch["x0"]) - (jnp.sin(batch["x0"][:, :1])
+                                       * jnp.sin(batch["x0"][:, 1:2]))
+            r_b = sum(jnp.square(f(batch[k]))
+                      for k in ("b_x0", "b_x1", "b_y0", "b_y1"))
+        else:
+            raise ValueError(f"unknown taps mode {self.taps!r}")
         r_domain = u_t - self.kappa * (u_xx + u_yy)
-        r_init = f(batch["x0"]) - (jnp.sin(batch["x0"][:, :1])
-                                   * jnp.sin(batch["x0"][:, 1:2]))
-        r_b = sum(jnp.square(f(batch[k]))
-                  for k in ("b_x0", "b_x1", "b_y0", "b_y1"))
         return (jnp.square(r_domain) + jnp.square(r_init) + r_b)[:, 0]
 
     def grid_inputs(self, nodes):

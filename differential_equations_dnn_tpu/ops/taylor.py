@@ -102,6 +102,91 @@ def mlp_taps(model, params, x, v, w):
     return u, du_v, d2u_vv, du_w
 
 
+def mlp_streams(model, params, x, second_dirs=(), first_dirs=(),
+                constraints=()):
+    """General stacked-stream evaluation for a plain MLP.
+
+    One matmul chain per layer computes, simultaneously:
+      * u(x)                                   — value at ``x`` [B, D]
+      * (∂_v u, ∂²_v u) for each v in ``second_dirs``   ([D] each)
+      * ∂_w u for each w in ``first_dirs``              ([D] each)
+      * u(c) for each constraint input c in ``constraints`` ([B, D] each)
+
+    Row layout: [value | (tan_i, sec_i)·len(second) | tan_j·len(first) |
+    constraints]. All tangent streams share the single value stream's
+    activation state, so mixed first/second-order PDE operators in any
+    dimension (e.g. a 2-D Laplacian + time derivative) cost ONE fused
+    matmul per layer instead of one jvp nest per direction.
+
+    Returns (u, seconds, firsts_of_seconds, firsts, constraint_values) where
+    ``seconds[i] = ∂²_{v_i} u``, ``firsts_of_seconds[i] = ∂_{v_i} u``,
+    ``firsts[j] = ∂_{w_j} u``; each [B, out_dim].
+    """
+    if model.batch_norm is not None:
+        raise ValueError("mlp_streams supports plain MLPs only")
+    name = model.activation
+    B = x.shape[0]
+    ns, nf, nc = len(second_dirs), len(first_dirs), len(constraints)
+
+    rows = [x]
+    for v in second_dirs:
+        rows.append(jnp.broadcast_to(jnp.asarray(v, x.dtype), x.shape))
+        rows.append(jnp.zeros_like(x))
+    for w in first_dirs:
+        rows.append(jnp.broadcast_to(jnp.asarray(w, x.dtype), x.shape))
+    rows.extend(constraints)
+    stacked = jnp.concatenate(rows, axis=0)
+
+    def act_all(z):
+        a0_z = z[:B]
+        a0 = _act_taylor(name, a0_z, a0_z, a0_z, a0_z)[0]
+        out = [a0]
+        # Shared derivative state of the value stream.
+        for i in range(ns):
+            z1 = z[(1 + 2 * i) * B:(2 + 2 * i) * B]
+            z2 = z[(2 + 2 * i) * B:(3 + 2 * i) * B]
+            _, a1, a2, _ = _act_taylor(name, a0_z, z1, z2, z1)
+            out.extend([a1, a2])
+        base = 1 + 2 * ns
+        for j in range(nf):
+            zj = z[(base + j) * B:(base + j + 1) * B]
+            out.append(_act_taylor(name, a0_z, zj, zj, zj)[1])
+        cbase = base + nf
+        if nc:
+            zc = z[cbase * B:]
+            out.append(_act_taylor(name, zc, zc, zc, zc)[0])
+        return jnp.concatenate(out, axis=0)
+
+    n_value_tail = nc  # constraint blocks get the bias; tangents do not
+    bias_mask = jnp.concatenate(
+        [jnp.ones((B, 1), x.dtype)]
+        + [jnp.zeros(((2 * ns + nf) * B, 1), x.dtype)]
+        + ([jnp.ones((n_value_tail * B, 1), x.dtype)] if nc else []),
+        axis=0)
+
+    def layer(a, W, b):
+        z = jnp.dot(a, W, precision=DOT_PRECISION)
+        if b is not None:
+            z = z + bias_mask * b
+        return z
+
+    a = act_all(layer(stacked, params["fc_in"]["w"], params["fc_in"].get("b")))
+    if model.num_layers > 0:
+        def body(a, lp):
+            return act_all(layer(a, lp["w"], lp.get("b"))), None
+
+        a, _ = lax.scan(body, a, params["hidden"])
+    out = layer(a, params["fc_out"]["w"], params["fc_out"]["b"])
+
+    blocks = [out[k * B:(k + 1) * B] for k in range(1 + 2 * ns + nf + nc)]
+    u = blocks[0]
+    firsts_of_seconds = [blocks[1 + 2 * i] for i in range(ns)]
+    seconds = [blocks[2 + 2 * i] for i in range(ns)]
+    firsts = [blocks[1 + 2 * ns + j] for j in range(nf)]
+    cons = [blocks[1 + 2 * ns + nf + k] for k in range(nc)]
+    return u, seconds, firsts_of_seconds, firsts, cons
+
+
 def heat_fused_streams(model, params, xt, x0, xb1, xb2):
     """The whole heat-equation step's network evaluations in ONE stacked
     matmul chain: interior value + x-tangent + xx-tangent + t-tangent PLUS

@@ -116,3 +116,27 @@ def test_pallas_rejects_bn_models(key):
     model = MLP(input_dim=2, output_dim=1, hidden_size=8, batch_norm="pre")
     with pytest.raises(ValueError):
         mlp_forward_pallas(model, model.init(key), jnp.ones((4, 2)))
+
+
+def test_mlp_streams_general_matches_jvp(key):
+    """The generalized stacked streams (heat2d: 2 second-order + 1
+    first-order direction + 5 constraints) match the jvp taps and their
+    gradients."""
+    from differential_equations_dnn_tpu.equations import Heat2D
+
+    pj = Heat2D(taps="jvp")
+    pt = Heat2D(taps="taylor")
+    model = pj.default_model()
+    params = model.init(key)
+    batch = pj.sample(key, 24)
+    lj = pj.point_loss(model.apply, params, batch)
+    lt = pt.point_loss(model.apply, params, batch)
+    np.testing.assert_allclose(np.asarray(lj), np.asarray(lt),
+                               rtol=1e-4, atol=1e-6)
+    gj = jax.grad(lambda p: pj.loss(model.apply, p, batch))(params)
+    gt = jax.grad(lambda p: pt.loss(model.apply, p, batch))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=1e-5),
+        gj, gt,
+    )

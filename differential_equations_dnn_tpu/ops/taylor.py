@@ -198,46 +198,10 @@ def heat_fused_streams(model, params, xt, x0, xb1, xb2):
     Replaces: 1 interior forward + 2 nested reverse taps + 3 constraint
     forwards per step in the reference (heat.py:73-93).
     """
-    if model.batch_norm is not None:
-        raise ValueError("heat_fused_streams supports plain MLPs only")
-    name = model.activation
-    B = xt.shape[0]
-
-    ex = jnp.asarray([1.0, 0.0], xt.dtype)
-    et = jnp.asarray([0.0, 1.0], xt.dtype)
-    stacked = jnp.concatenate([
-        xt,                               # 0: interior value
-        jnp.broadcast_to(ex, xt.shape),   # 1: x-tangent
-        jnp.zeros_like(xt),               # 2: xx (second-order) tangent
-        jnp.broadcast_to(et, xt.shape),   # 3: t-tangent
-        x0, xb1, xb2,                     # 4-6: constraint values
-    ], axis=0)
-
-    def act_all(z):
-        z0, z1, z2, z3, c = (z[:B], z[B:2 * B], z[2 * B:3 * B],
-                             z[3 * B:4 * B], z[4 * B:])
-        a0, a1, a2, a3 = _act_taylor(name, z0, z1, z2, z3)
-        ac = _act_taylor(name, c, c, c, c)[0]  # value rule only
-        return jnp.concatenate([a0, a1, a2, a3, ac], axis=0)
-
-    def layer(a, W, b):
-        z = jnp.dot(a, W, precision=DOT_PRECISION)
-        if b is not None:
-            # Bias applies to VALUE streams (interior + constraints), not to
-            # tangent streams (an additive constant has zero derivative).
-            bias_mask = jnp.concatenate([
-                jnp.ones((B, 1), z.dtype), jnp.zeros((3 * B, 1), z.dtype),
-                jnp.ones((3 * B, 1), z.dtype),
-            ], axis=0)
-            z = z + bias_mask * b
-        return z
-
-    a = act_all(layer(stacked, params["fc_in"]["w"], params["fc_in"].get("b")))
-    if model.num_layers > 0:
-        def body(a, lp):
-            return act_all(layer(a, lp["w"], lp.get("b"))), None
-
-        a, _ = lax.scan(body, a, params["hidden"])
-    out = layer(a, params["fc_out"]["w"], params["fc_out"]["b"])
-    return (out[:B], out[B:2 * B], out[2 * B:3 * B], out[3 * B:4 * B],
-            out[4 * B:5 * B], out[5 * B:6 * B], out[6 * B:])
+    u, (u_xx,), (u_x,), (u_t,), (u0, ub1, ub2) = mlp_streams(
+        model, params, xt,
+        second_dirs=([1.0, 0.0],),
+        first_dirs=([0.0, 1.0],),
+        constraints=(x0, xb1, xb2),
+    )
+    return u, u_x, u_xx, u_t, u0, ub1, ub2

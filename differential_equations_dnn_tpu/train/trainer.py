@@ -36,6 +36,44 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from differential_equations_dnn_tpu.utils.timing import Timer
 
+# ---------------------------------------------------------------------------
+# Fault injection (testing hook for the elastic-recovery path; SURVEY §5.3)
+# ---------------------------------------------------------------------------
+
+_FAULT_QUEUE: list[int] = []
+
+
+class _InjectedFault(Exception):
+    pass
+
+
+def inject_fault(at_dispatch: int):
+    """Context manager: make the ``at_dispatch``-th chunk dispatch of the
+    next training run raise, exercising snapshot/retry recovery in tests."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        _FAULT_QUEUE.append(at_dispatch)
+        try:
+            yield
+        finally:
+            _FAULT_QUEUE.clear()
+
+    return _ctx()
+
+
+_RECOVERABLE = "TPU worker process crashed"  # substring match on runtime errs
+
+
+def _is_recoverable(err: Exception) -> bool:
+    if isinstance(err, _InjectedFault):
+        return True
+    # XLA surfaces device/worker failures as generic runtime errors; be
+    # conservative: retry on the known worker-crash signature and on
+    # jax.errors.JaxRuntimeError.
+    return isinstance(err, jax.errors.JaxRuntimeError) or _RECOVERABLE in str(err)
+
 
 @dataclass(frozen=True)
 class TrainConfig:
@@ -61,6 +99,13 @@ class TrainConfig:
     # iters/sec) — the framework's observability hook (SURVEY §5.5); loss
     # stays device-resident within a chunk.
     metrics_file: str | None = None
+    # Elastic recovery (SURVEY §5.3 — the reference has none; TPU workers DO
+    # crash): host-side numpy snapshots of (params, opt_state) every
+    # ``snapshot_every`` chunks; on a device runtime failure the trainer
+    # restores the snapshot and retries up to ``max_retries`` times.
+    # snapshot_every=0 disables snapshots and recovery.
+    snapshot_every: int = 1
+    max_retries: int = 2
 
 
 @dataclass
@@ -184,17 +229,45 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
             run_chunk.lower(params, opt_state, 0, chunk).compile()
 
     metrics_fh = open(config.metrics_file, "a") if config.metrics_file else None
+    chunks = [chunk] * n_full + ([rem] if rem else [])
+    snapshot = None
+    if config.snapshot_every:
+        snapshot = (jax.tree.map(np.asarray, (params, opt_state)),
+                    start_step, 0)
+    retries = 0
+    dispatch_idx = 0
     with Timer() as t:
         done = start_step
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         try:
-            for chunk_len in [chunk] * n_full + ([rem] if rem else []):
-                chunk_timer = Timer()
-                with chunk_timer:
-                    params, opt_state, losses = run_chunk(params, opt_state,
-                                                          done, chunk_len)
-                    losses = np.asarray(losses)
+            ci = 0
+            while ci < len(chunks):
+                chunk_len = chunks[ci]
+                try:
+                    if _FAULT_QUEUE and dispatch_idx == _FAULT_QUEUE[0]:
+                        _FAULT_QUEUE.pop(0)
+                        raise _InjectedFault(f"injected at dispatch {dispatch_idx}")
+                    chunk_timer = Timer()
+                    with chunk_timer:
+                        params, opt_state, losses = run_chunk(
+                            params, opt_state, done, chunk_len)
+                        losses = np.asarray(losses)
+                except Exception as err:  # noqa: BLE001 — filtered below
+                    dispatch_idx += 1
+                    if (snapshot is None or retries >= config.max_retries
+                            or not _is_recoverable(err)):
+                        raise
+                    retries += 1
+                    (host_state, done, n_chunks_kept) = snapshot
+                    params, opt_state = jax.tree.map(jnp.asarray, host_state)
+                    losses_out = losses_out[:n_chunks_kept]
+                    ci = n_chunks_kept
+                    print(f"[recovery] device failure ({type(err).__name__}); "
+                          f"restored snapshot at step {done}, retry "
+                          f"{retries}/{config.max_retries}")
+                    continue
+                dispatch_idx += 1
                 losses_out.append(losses)
                 if config.verbose and config.log_every:
                     for j in range(0, chunk_len, config.log_every):
@@ -203,6 +276,10 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                             print(f"Iteration: {i}, Loss: {losses[j]}, "
                                   f"LR: {config.lrate}")
                 done += chunk_len
+                ci += 1
+                if config.snapshot_every and ci % config.snapshot_every == 0:
+                    snapshot = (jax.tree.map(np.asarray, (params, opt_state)),
+                                done, ci)
                 if metrics_fh:
                     import json
 

@@ -108,3 +108,44 @@ def test_metrics_jsonl(key, tmp_path):
     records = [json.loads(l) for l in mf.read_text().splitlines()]
     assert [r["step"] for r in records] == [100, 200, 250]
     assert all("iters_per_sec" in r and np.isfinite(r["loss"]) for r in records)
+
+
+def test_elastic_recovery_from_injected_fault(key):
+    """A device failure mid-run restores the host snapshot and produces the
+    SAME result as an uninterrupted run (deterministic per-step keys)."""
+    from differential_equations_dnn_tpu.train import trainer as trainer_mod
+    from differential_equations_dnn_tpu.equations import SineFit
+
+    prob = SineFit(n_points=8)
+    cfg = TrainConfig(iterations=300, batch_size=8, chunk_size=100,
+                      verbose=False)
+    clean = train(prob, key, cfg)
+    with trainer_mod.inject_fault(at_dispatch=1):
+        recovered = train(prob, key, cfg)
+    np.testing.assert_allclose(clean.loss_history, recovered.loss_history,
+                               rtol=1e-6)
+
+
+def test_recovery_exhausts_retries(key):
+    from differential_equations_dnn_tpu.train import trainer as trainer_mod
+    from differential_equations_dnn_tpu.equations import SineFit
+
+    prob = SineFit(n_points=8)
+    cfg = TrainConfig(iterations=200, batch_size=8, chunk_size=100,
+                      verbose=False, max_retries=1)
+    with trainer_mod.inject_fault(at_dispatch=0):
+        trainer_mod._FAULT_QUEUE.extend([1, 2])  # fail three times total
+        with pytest.raises(trainer_mod._InjectedFault):
+            train(prob, key, cfg)
+
+
+def test_recovery_disabled(key):
+    from differential_equations_dnn_tpu.train import trainer as trainer_mod
+    from differential_equations_dnn_tpu.equations import SineFit
+
+    prob = SineFit(n_points=8)
+    cfg = TrainConfig(iterations=100, batch_size=8, verbose=False,
+                      snapshot_every=0)
+    with trainer_mod.inject_fault(at_dispatch=0):
+        with pytest.raises(trainer_mod._InjectedFault):
+            train(prob, key, cfg)

@@ -29,6 +29,28 @@ from differential_equations_dnn_tpu.core.precision import DOT_PRECISION
 _TAYLOR_ACTS = ("tanh", "relu", "sigmoid", "identity")
 
 
+def _act_state(name, z0):
+    """(a, a', a'') of the activation at z0 — computed ONCE per layer; every
+    tangent stream's Taylor rule is then pure multiply-add:
+    a1 = a'·z1,  a2 = a'·z2 + a''·z1²."""
+    if name == "tanh":
+        a0 = jnp.tanh(z0)
+        d = 1.0 - a0 * a0
+        return a0, d, -2.0 * a0 * d
+    if name == "sigmoid":
+        a0 = 1.0 / (1.0 + jnp.exp(-z0))
+        d = a0 * (1.0 - a0)
+        return a0, d, d * (1.0 - 2.0 * a0)
+    if name == "relu":
+        g = (z0 > 0).astype(z0.dtype)
+        return jnp.maximum(z0, 0.0), g, jnp.zeros_like(z0)
+    if name == "identity":
+        one = jnp.ones_like(z0)
+        return z0, one, jnp.zeros_like(z0)
+    raise ValueError(f"activation {name!r} not supported by stacked Taylor "
+                     f"propagation (supported: {_TAYLOR_ACTS})")
+
+
 def _act_taylor(name, z0, z1, z2, z3):
     """Apply activation to the value stream and its Taylor rules to the
     tangent streams. z2 is the SECOND directional derivative along the same
@@ -138,23 +160,18 @@ def mlp_streams(model, params, x, second_dirs=(), first_dirs=(),
     stacked = jnp.concatenate(rows, axis=0)
 
     def act_all(z):
-        a0_z = z[:B]
-        a0 = _act_taylor(name, a0_z, a0_z, a0_z, a0_z)[0]
+        a0, d, dd = _act_state(name, z[:B])   # value-stream state, ONCE
         out = [a0]
-        # Shared derivative state of the value stream.
         for i in range(ns):
             z1 = z[(1 + 2 * i) * B:(2 + 2 * i) * B]
             z2 = z[(2 + 2 * i) * B:(3 + 2 * i) * B]
-            _, a1, a2, _ = _act_taylor(name, a0_z, z1, z2, z1)
-            out.extend([a1, a2])
+            out.append(d * z1)
+            out.append(d * z2 + dd * (z1 * z1))
         base = 1 + 2 * ns
         for j in range(nf):
-            zj = z[(base + j) * B:(base + j + 1) * B]
-            out.append(_act_taylor(name, a0_z, zj, zj, zj)[1])
-        cbase = base + nf
+            out.append(d * z[(base + j) * B:(base + j + 1) * B])
         if nc:
-            zc = z[cbase * B:]
-            out.append(_act_taylor(name, zc, zc, zc, zc)[0])
+            out.append(_act_state(name, z[(base + nf) * B:])[0])
         return jnp.concatenate(out, axis=0)
 
     n_value_tail = nc  # constraint blocks get the bias; tangents do not

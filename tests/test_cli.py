@@ -118,3 +118,10 @@ def test_heat_taps_flag(tmp_path):
     main(["heat", "--solve", "--niters", "40", "--batch-size", "16",
           "--nnodes", "8", "--taps", "taylor", "--results-dir", rd])
     assert np.load(Path(rd) / "heat_sol_1d_dgm_loss.npy").shape == (40,)
+
+
+def test_heat2d_cli(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    main(["heat2d", "--solve", "--plot", "--niters", "40", "--batch-size", "32",
+          "--nnodes", "6", "--results-dir", rd])
+    assert np.load(Path(rd) / "heat_sol_2d_dgm.npy").shape == (6, 6, 6)

@@ -209,7 +209,7 @@ def _adam_update(p, m, v, g, lr, t):
 _N_TENSORS = 6  # w_in, b_in, w_hid, b_hid, w_out, b_out
 
 
-def _train_kernel(B, L, x_max, t_max, kappa, lr,
+def _train_kernel(B, L, S, x_max, t_max, kappa, lr,
                   step0_ref, u_ref, *refs):
     # refs layout: params_in (6), m_in (6), v_in (6),
     #              losses_out, params_out (6), m_out (6), v_out (6)
@@ -223,7 +223,7 @@ def _train_kernel(B, L, x_max, t_max, kappa, lr,
 
     i = pl.program_id(0)
 
-    # First step: copy initial state into the VMEM-resident output buffers.
+    # First grid cell: copy initial state into the VMEM-resident buffers.
     @pl.when(i == 0)
     def _():
         for k in range(_N_TENSORS):
@@ -231,27 +231,39 @@ def _train_kernel(B, L, x_max, t_max, kappa, lr,
             m_out[k][:] = m_in[k][:]
             v_out[k][:] = v_in[k][:]
 
-    params = tuple(p_out[k][:] for k in range(_N_TENSORS))
-    u = u_ref[0]                       # [B, 2] uniforms for this step
+    def body(s, _):
+        """One Adam step; S steps run per grid cell to amortise grid/DMA
+        overhead (the [S, B, 2] uniforms block is already in VMEM)."""
+        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
+        u = u_ref[s]                       # [B, 2] uniforms for this step
 
-    loss, grads = fused_step_math(params, u, B, L, x_max, t_max, kappa)
-    loss_ref[pl.ds(i, 1), :] = loss.reshape(1, 1)
+        loss, grads = fused_step_math(params, u, B, L, x_max, t_max, kappa)
+        step = i * S + s
+        loss_ref[pl.ds(step, 1), :] = loss.reshape(1, 1)
 
-    t = (step0_ref[0] + i + 1).astype(jnp.float32)
-    for k in range(_N_TENSORS):
-        p_new, m_new, v_new = _adam_update(
-            p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr, t)
-        p_out[k][:] = p_new
-        m_out[k][:] = m_new
-        v_out[k][:] = v_new
+        t = (step0_ref[0] + step + 1).astype(jnp.float32)
+        for k in range(_N_TENSORS):
+            p_new, m_new, v_new = _adam_update(
+                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr, t)
+            p_out[k][:] = p_new
+            m_out[k][:] = m_new
+            v_out[k][:] = v_new
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
 
 
 def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
-                           x_max=math.pi, t_max=3.0, kappa=1.0):
+                           x_max=math.pi, t_max=3.0, kappa=1.0,
+                           steps_per_cell: int = 50):
     """Run ``K = uniforms.shape[0]`` Adam steps entirely inside one Pallas
     kernel. ``params``/``m``/``v`` are the flat tuples
     (w_in, b_in, w_hid, b_hid, w_out, b_out); ``uniforms`` is [K, B, 2] of
     U[0,1) draws (from jax.random, so runs are reproducible).
+
+    ``steps_per_cell`` Adam steps execute per grid cell inside a fori_loop
+    (must divide K); larger values amortise grid sequencing overhead at the
+    cost of a bigger uniforms block in VMEM (S·B·2 floats).
 
     Returns (params, m, v, losses[K])."""
     if model.batch_norm is not None or model.activation != "tanh":
@@ -259,8 +271,9 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
     K, B, _ = uniforms.shape
     L, H = model.num_layers, model.hidden_size
     D, O = model.input_dim, model.output_dim
+    S = math.gcd(steps_per_cell, K)
 
-    kernel = functools.partial(_train_kernel, B, L, float(x_max),
+    kernel = functools.partial(_train_kernel, B, L, S, float(x_max),
                                float(t_max), float(kappa), float(lrate))
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
@@ -275,10 +288,10 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
 
     out = pl.pallas_call(
         kernel,
-        grid=(K,),
+        grid=(K // S,),
         in_specs=(
             [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0),
+            + [pl.BlockSpec((S, B, 2), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)]
             + state_specs * 3
         ),

@@ -131,3 +131,12 @@ def test_population_rejects_indivisible_sharding(key):
         train_population(prob, model, key, jnp.full((5,), 1e-3),
                          config=PopulationConfig(iterations=1, max_batch_size=4),
                          mesh=mesh)
+
+
+def test_global_mesh_default():
+    from differential_equations_dnn_tpu.parallel import global_mesh
+
+    mesh = global_mesh()
+    assert mesh.shape == {"data": 8}
+    mesh2 = global_mesh({"pop": 4, "data": 2})
+    assert mesh2.shape == {"pop": 4, "data": 2}

@@ -41,6 +41,8 @@ ARTIFACTS = {
              "heat_sol_exact_1d", "figs/heat_1dim_solution.pdf"),
     "heat2d": ("heat_sol_2d_dgm", "heat_sol_2d_dgm_loss",
                "heat_sol_exact_2d", "figs/heat_2dim_solution.pdf"),
+    "burgers": ("burgers_sol_dgm", "burgers_sol_dgm_loss",
+                "burgers_sol_exact", "figs/burgers_solution.pdf"),
     "fredholm": ("fredholm_approx", "fredholm_loss",
                  "fredholm_exact", "figs/fredholm_solution.pdf"),
     "fitzhugh_nagumo": ("new_fn_solution_dgm", "new_fn_loss_dgm",
@@ -168,6 +170,9 @@ def _plot(problem, args):
     if problem.name == "heat":
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
+    elif problem.name == "burgers":
+        _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
+                               savepath=savepath, vmin=None, vmax=None)
     elif problem.name == "heat2d":
         # Plot the mid-time (x, y) slice of the 3-D solution cube.
         mid = y_approx.shape[0] // 2

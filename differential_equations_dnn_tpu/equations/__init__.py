@@ -10,6 +10,7 @@ from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.equations.simple_ode import SimpleODE
 from differential_equations_dnn_tpu.equations.heat import Heat1D
 from differential_equations_dnn_tpu.equations.heat2d import Heat2D
+from differential_equations_dnn_tpu.equations.burgers import Burgers
 from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
 from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
 from differential_equations_dnn_tpu.equations.uat import SineFit
@@ -18,6 +19,7 @@ PROBLEMS = {
     "simple_ode": SimpleODE,
     "heat": Heat1D,
     "heat2d": Heat2D,
+    "burgers": Burgers,
     "fredholm": Fredholm2,
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
@@ -29,6 +31,7 @@ __all__ = [
     "SimpleODE",
     "Heat1D",
     "Heat2D",
+    "Burgers",
     "Fredholm2",
     "FitzHughNagumo",
     "SineFit",

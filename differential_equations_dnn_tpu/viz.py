@@ -52,9 +52,11 @@ def plot_solution_and_loss(grid, y_exact, y_approx, loss, title,
     return _finish(fig, savepath, show), mae
 
 
-def plot_heat(y_exact, y_dgm, loss, n_iters, savepath=None, show=False):
-    """The 3-panel heat figure (heat.py:234-287): exact field, approximated
-    field, loss curve with MAE annotation."""
+def plot_heat(y_exact, y_dgm, loss, n_iters, savepath=None, show=False,
+              vmin=0.0, vmax=1.0):
+    """The 3-panel space-time-field figure (heat.py:234-287): exact field,
+    approximated field, loss curve with MAE annotation. Pass vmin=vmax=None
+    for auto colour scaling (non-heat fields, e.g. Burgers)."""
     mae = mean_absolute_error(y_exact, y_dgm)
     fig = plt.figure(figsize=(20, 5))
     fig.subplots_adjust(bottom=0.11)
@@ -62,7 +64,7 @@ def plot_heat(y_exact, y_dgm, loss, n_iters, savepath=None, show=False):
         [(y_exact, "Exact solution"), (y_dgm, "Approximated solution (DNN)")]
     ):
         ax = fig.add_subplot(1, 3, idx + 1)
-        im = ax.imshow(field, origin="lower", vmin=0.0, vmax=1.0)
+        im = ax.imshow(field, origin="lower", vmin=vmin, vmax=vmax)
         plt.colorbar(im)
         ax.set_xlabel("Space", fontsize=16, weight="bold")
         ax.set_ylabel("Time", fontsize=16, weight="bold")

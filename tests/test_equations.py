@@ -167,3 +167,30 @@ def test_fitzhugh_nagumo_arch_variants(key):
     batch = prob.sample(key, 16)
     loss = prob.loss(fmlp.apply, params, batch)
     assert np.isfinite(float(loss))
+
+
+def test_burgers_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Burgers
+
+    prob = Burgers()
+    exact = _exact_apply(
+        lambda z: prob._exact_fn(z[..., :1], z[..., 1:2])
+    )
+    batch = prob.sample(key, 64)
+    assert float(prob.loss(exact, None, batch)) < 1e-8
+    # Wrong viscosity must NOT satisfy the residual.
+    wrong = Burgers(nu=0.2)
+    assert float(wrong.loss(exact, None, batch)) > 1e-4
+    assert prob.exact(20).shape == (20, 20)
+
+
+def test_burgers_short_training(key):
+    from differential_equations_dnn_tpu.equations import Burgers
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = Burgers()
+    cfg = TrainConfig(iterations=400, batch_size=64, lrate=1e-3, verbose=False)
+    res = train(prob, key, cfg)
+    assert res.loss_history[-1] < res.loss_history[0] * 0.5
+    mae = prob.mae(prob.default_model().apply, res.params, nodes=16)
+    assert np.isfinite(mae)

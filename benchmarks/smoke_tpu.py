@@ -25,6 +25,7 @@ def main(full: bool = False):
         ("simple_ode", {}, dict(iterations=3000, lrate=1e-3), 0.01),
         ("heat", {"taps": "taylor"}, dict(iterations=5000, lrate=1e-3), 0.02),
         ("heat2d", {"taps": "taylor"}, dict(iterations=5000), 0.05),
+        ("burgers", {}, dict(iterations=5000), 0.05),
         ("fredholm", {"quadrature": "gauss", "k": 16},
          dict(iterations=2000, lrate=1e-3), 0.05),
         ("fitzhugh_nagumo", {"arch": "fourier_mlp"},

@@ -108,6 +108,11 @@ def _solve(problem, args):
     save_array(sol_name, y_approx, directory=args.results_dir)
     save_array(loss_name, result.loss_history, directory=args.results_dir)
     save_array(exact_name, y_exact, directory=args.results_dir)
+    if problem.name == "uat":
+        # Reference also saves the evaluation grid
+        # (demo_universal_approx_theorem.py:89: np.save("space", x0)).
+        save_array("space", problem.grid_inputs(args.nnodes),
+                   directory=args.results_dir)
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint,

@@ -126,18 +126,16 @@ def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
     X, x_interior = _stack_inputs(u, B, x_max, t_max)
     mask = _bias_mask(B, X.dtype)
 
-    # ---- forward, saving pre-activations ----
+    # ---- forward, saving pre-activations ONLY (activations are recomputed
+    # pointwise from zs in the backward — halves live VMEM) ----
     zs = []
-    acts = [X]
     z = jnp.dot(X, w_in, precision=_HIGH) + mask * b_in
     zs.append(z)
     a = _act_fwd(z, B)
     for l in range(L):
-        acts.append(a)
         z = jnp.dot(a, w_hid[l], precision=_HIGH) + mask * b_hid[l]
         zs.append(z)
         a = _act_fwd(z, B)
-    acts.append(a)
     out = jnp.dot(a, w_out, precision=_HIGH) + mask * b_out
 
     u_xx = out[2 * B:3 * B]
@@ -155,8 +153,8 @@ def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
     G = jnp.concatenate([zeros, zeros, -kappa * s * r, s * r,
                          s * r0, s * ub1, s * ub2], 0)
 
-    # ---- backward ----
-    d_w_out = _dot_tn(acts[-1], G)
+    # ---- backward (layer inputs recomputed as act(z_{l-1})) ----
+    d_w_out = _dot_tn(_act_fwd(zs[L], B), G)
     d_b_out = jnp.sum(mask * G, axis=0)
     g = _dot_nt(G, w_out)
 
@@ -164,14 +162,14 @@ def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
     d_b_hid = []
     for l in range(L - 1, -1, -1):
         dz = _act_bwd(zs[l + 1], g, B)
-        d_w_hid.append(_dot_tn(acts[l + 1], dz))
+        d_w_hid.append(_dot_tn(_act_fwd(zs[l], B), dz))
         d_b_hid.append(jnp.sum(mask * dz, axis=0))
         g = _dot_nt(dz, w_hid[l])
     d_w_hid = jnp.stack(d_w_hid[::-1]) if L > 0 else jnp.zeros_like(w_hid)
     d_b_hid = jnp.stack(d_b_hid[::-1]) if L > 0 else jnp.zeros_like(b_hid)
 
     dz = _act_bwd(zs[0], g, B)
-    d_w_in = _dot_tn(acts[0], dz)
+    d_w_in = _dot_tn(X, dz)
     d_b_in = jnp.sum(mask * dz, axis=0)
 
     return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out, d_b_out)

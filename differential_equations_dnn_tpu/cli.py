@@ -43,6 +43,8 @@ ARTIFACTS = {
                "heat_sol_exact_2d", "figs/heat_2dim_solution.pdf"),
     "burgers": ("burgers_sol_dgm", "burgers_sol_dgm_loss",
                 "burgers_sol_exact", "figs/burgers_solution.pdf"),
+    "inverse_heat": ("inverse_heat_sol_dgm", "inverse_heat_sol_dgm_loss",
+                     "inverse_heat_sol_exact", "figs/inverse_heat_solution.pdf"),
     "fredholm": ("fredholm_approx", "fredholm_loss",
                  "fredholm_exact", "figs/fredholm_solution.pdf"),
     "fitzhugh_nagumo": ("new_fn_solution_dgm", "new_fn_loss_dgm",
@@ -134,6 +136,11 @@ def _solve(problem, args):
          "final_loss": result.final_loss},
         args.results_dir, name=f"{problem.name}_run",
     )
+    if hasattr(problem, "kappa_error"):
+        kappa_hat = float(np.exp(np.asarray(result.params["log_kappa"])))
+        print(f"[{problem.name}] identified kappa = {kappa_hat:.4f} "
+              f"(true {problem.kappa_true}, |err| "
+              f"{problem.kappa_error(result.params):.4f})")
     print(f"[{problem.name}] {result.iters_per_sec:.0f} iters/s, "
           f"final loss {result.final_loss:.3e}")
     return result
@@ -172,7 +179,7 @@ def _plot(problem, args):
         ) from e
     savepath = fig_name if args.savefig else None
 
-    if problem.name == "heat":
+    if problem.name in ("heat", "inverse_heat"):
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
     elif problem.name == "burgers":

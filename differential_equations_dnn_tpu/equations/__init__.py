@@ -11,6 +11,7 @@ from differential_equations_dnn_tpu.equations.simple_ode import SimpleODE
 from differential_equations_dnn_tpu.equations.heat import Heat1D
 from differential_equations_dnn_tpu.equations.heat2d import Heat2D
 from differential_equations_dnn_tpu.equations.burgers import Burgers
+from differential_equations_dnn_tpu.equations.inverse_heat import InverseHeat1D
 from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
 from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
 from differential_equations_dnn_tpu.equations.uat import SineFit
@@ -20,6 +21,7 @@ PROBLEMS = {
     "heat": Heat1D,
     "heat2d": Heat2D,
     "burgers": Burgers,
+    "inverse_heat": InverseHeat1D,
     "fredholm": Fredholm2,
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
@@ -32,6 +34,7 @@ __all__ = [
     "Heat1D",
     "Heat2D",
     "Burgers",
+    "InverseHeat1D",
     "Fredholm2",
     "FitzHughNagumo",
     "SineFit",

@@ -194,3 +194,25 @@ def test_burgers_short_training(key):
     assert res.loss_history[-1] < res.loss_history[0] * 0.5
     mae = prob.mae(prob.default_model().apply, res.params, nodes=16)
     assert np.isfinite(mae)
+
+
+def test_inverse_heat_identifies_kappa(key):
+    from differential_equations_dnn_tpu.equations import InverseHeat1D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = InverseHeat1D()
+    cfg = TrainConfig(iterations=1500, batch_size=128, lrate=1e-3,
+                      verbose=False)
+    res = train(prob, key, cfg)
+    # kappa moves decisively from the 0.5 guess toward the true 1.0.
+    assert prob.kappa_error(res.params) < 0.15
+    # masked loss path (population sweeps) also works
+    import jax.numpy as jnp
+    batch = prob.sample(key, 32)
+    model = prob.default_model()
+    masked = prob.loss(model.apply, res.params, batch,
+                       mask=jnp.arange(32) < 16)
+    assert np.isfinite(float(masked))
+    # point_loss is deliberately unsupported
+    with pytest.raises(NotImplementedError):
+        prob.point_loss(model.apply, res.params, batch)

@@ -69,6 +69,9 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
     p.add_argument("--export", type=str, default=None, dest="export_path",
                    help="serialise the trained solution (StableHLO via "
                         "jax.export) to this file for serving")
+    p.add_argument("--finetune", type=int, default=0,
+                   help="polish with N full-batch L-BFGS steps after Adam "
+                        "(~2-3x lower MAE; try 200)")
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the collocation batch over N devices (0 = off)")
@@ -103,6 +106,15 @@ def _solve(problem, args):
     result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
                    params=params, start_step=start_step or 0)
     model = problem.default_model()
+    if getattr(args, "finetune", 0):
+        from differential_equations_dnn_tpu.train import finetune_lbfgs
+
+        result.params, ft_losses = finetune_lbfgs(
+            problem, result.params, jax.random.key(args.seed + 1),
+            steps=args.finetune, model=model)
+        result.loss_history = np.concatenate([result.loss_history, ft_losses])
+        print(f"[{problem.name}] L-BFGS finetune: loss "
+              f"{ft_losses[0]:.3e} -> {ft_losses[-1]:.3e}")
     y_approx = problem.evaluate(model.apply, result.params, nodes=args.nnodes)
     y_exact = problem.exact(args.nnodes)
 

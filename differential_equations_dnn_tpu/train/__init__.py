@@ -11,6 +11,7 @@ from differential_equations_dnn_tpu.train.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
 )
+from differential_equations_dnn_tpu.train.finetune import finetune_lbfgs
 
 __all__ = [
     "TrainConfig",
@@ -21,4 +22,5 @@ __all__ = [
     "l2_error",
     "save_checkpoint",
     "restore_checkpoint",
+    "finetune_lbfgs",
 ]

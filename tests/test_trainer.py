@@ -149,3 +149,19 @@ def test_recovery_disabled(key):
     with trainer_mod.inject_fault(at_dispatch=0):
         with pytest.raises(trainer_mod._InjectedFault):
             train(prob, key, cfg)
+
+
+def test_lbfgs_finetune_improves(key):
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.train import finetune_lbfgs
+
+    prob = Heat1D(taps="taylor")
+    model = prob.default_model()
+    res = train(prob, key, TrainConfig(iterations=800, batch_size=64,
+                                       lrate=1e-3, verbose=False))
+    mae0 = prob.mae(model.apply, res.params, nodes=20)
+    params, losses = finetune_lbfgs(prob, res.params, key, steps=60,
+                                    batch_size=1024, model=model)
+    mae1 = prob.mae(model.apply, params, nodes=20)
+    assert losses[-1] < losses[0]
+    assert mae1 < mae0 * 1.2  # typically much better, never much worse

@@ -39,7 +39,7 @@ class SolveResult:
 def solve(equation: str | Problem, *, iterations: int | None = None,
           batch_size: int | None = None, lrate: float | None = None,
           nodes: int | None = None, seed: int = 0, model=None, mesh=None,
-          ensemble: int = 0, verbose: bool = False,
+          ensemble: int = 0, finetune: int = 0, verbose: bool = False,
           **problem_kwargs) -> SolveResult:
     """Train a network on ``equation`` and validate against its ground truth.
 
@@ -110,6 +110,14 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         loss_history = result.loss_history
         iters_per_sec = result.iters_per_sec
         wall_time = result.wall_time
+
+    if finetune:
+        from differential_equations_dnn_tpu.train import finetune_lbfgs
+
+        params, ft_losses = finetune_lbfgs(
+            problem, params, jax.random.key(seed + 1), steps=finetune,
+            model=model)
+        loss_history = np.concatenate([loss_history, ft_losses])
 
     solution = problem.evaluate(model.apply, params, nodes=nodes)
     exact = problem.exact(nodes)

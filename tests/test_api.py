@@ -60,3 +60,10 @@ def test_solve_ensemble_selects_by_loss():
     assert res.solution.shape == (10,)
     assert res.loss_history.shape == (300,)
     assert np.isfinite(res.mae)
+
+
+def test_solve_with_finetune():
+    res = solve("simple_ode", iterations=400, batch_size=32, lrate=1e-3,
+                nodes=10, finetune=30)
+    assert res.loss_history.shape == (430,)
+    assert res.mae < 0.05

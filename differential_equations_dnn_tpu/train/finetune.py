@@ -24,7 +24,10 @@ def finetune_lbfgs(problem, params, key, steps: int = 200,
 
     Returns (params, loss_history np[steps])."""
     apply_fn = apply_fn or (model or problem.default_model()).apply
-    batch = problem.sample(key, batch_size)
+    # Dense OFF-GRID collocation (validation_sample): polishing on a fixed
+    # training grid would overfit it, and grid samplers cannot produce
+    # more points than the grid holds anyway.
+    batch = problem.validation_sample(key, batch_size)
 
     def loss_fn(p):
         return problem.loss(apply_fn, p, batch)

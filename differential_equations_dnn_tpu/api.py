@@ -15,6 +15,11 @@ import numpy as np
 import jax
 
 from differential_equations_dnn_tpu.equations import PROBLEMS, Problem
+from differential_equations_dnn_tpu.models.stateful import (
+    eval_apply,
+    train_apply,
+    update_state,
+)
 from differential_equations_dnn_tpu.train import TrainConfig, train
 from differential_equations_dnn_tpu.train.metrics import mean_absolute_error
 
@@ -29,6 +34,8 @@ class SolveResult:
     loss_history: np.ndarray
     iters_per_sec: float
     wall_time: float
+    compile_time: float = 0.0
+    state: Any = None           # BatchNorm running stats (stateful models)
 
     def __repr__(self):
         return (f"SolveResult({self.problem.name}: mae={self.mae:.4g}, "
@@ -36,11 +43,25 @@ class SolveResult:
                 f"{self.iters_per_sec:.0f} iters/s)")
 
 
+def _auto_ensemble(problem, model) -> int:
+    """Default ensemble width when the caller leaves ``ensemble=None``.
+
+    The reference-parity FitzHugh–Nagumo DGM architecture is highly
+    init-sensitive (single-seed MAE anywhere in [0.005, 0.76] at the
+    reference budget); best-of-8 with off-grid validation selection beats
+    the reference's published 0.0088 on every seed tested. Everything else
+    trains reliably from one seed."""
+    if (model is None and problem.name == "fitzhugh_nagumo"
+            and getattr(problem, "arch", None) == "dgm"):
+        return 8
+    return 0
+
+
 def solve(equation: str | Problem, *, iterations: int | None = None,
           batch_size: int | None = None, lrate: float | None = None,
           nodes: int | None = None, seed: int = 0, model=None, mesh=None,
-          ensemble: int = 0, finetune: int = 0, verbose: bool = False,
-          **problem_kwargs) -> SolveResult:
+          ensemble: int | None = None, finetune: int = 0,
+          verbose: bool = False, **problem_kwargs) -> SolveResult:
     """Train a network on ``equation`` and validate against its ground truth.
 
     ``equation`` is a registry name ("simple_ode", "heat", "fredholm",
@@ -49,10 +70,14 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
 
     ``ensemble=N`` trains N independently-initialised replicas as ONE vmapped
     population (shardable over a 'pop' mesh axis) and returns the replica
-    with the lowest smoothed final training loss. Init sensitivity dominates
-    stiff problems like FitzHugh–Nagumo — a single seed lands anywhere
-    between MAE 0.005 and 0.76 at the reference budget; best-of-8 reliably
-    beats the reference's published number, at ~the cost of one run on TPU.
+    with the lowest off-grid validation residual. ``ensemble=None`` (default)
+    picks a robust width automatically: 8 for the init-sensitive
+    FitzHugh–Nagumo DGM architecture, single-run otherwise. Pass
+    ``ensemble=0`` / ``ensemble=1`` to force a single run.
+
+    Stateful models (BatchNorm MLPs) train on the same path; the trained
+    running statistics ride ``SolveResult.state`` and evaluation uses
+    eval-mode forwards.
     """
     if isinstance(equation, str):
         try:
@@ -69,11 +94,15 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         iterations=iterations if iterations is not None else d.iterations,
         batch_size=batch_size if batch_size is not None else d.batch_size,
         lrate=lrate if lrate is not None else d.lrate,
+        schedule=getattr(d, "schedule", "constant"),
         verbose=verbose,
     )
     nodes = nodes if nodes is not None else d.nodes
+    if ensemble is None:
+        ensemble = _auto_ensemble(problem, model)
     model = model or problem.default_model()
 
+    state = None
     if ensemble > 1:
         import jax.numpy as jnp
 
@@ -81,45 +110,65 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             PopulationConfig,
             train_population,
         )
-        from differential_equations_dnn_tpu.utils.timing import Timer
 
         pc = PopulationConfig(iterations=config.iterations,
                               max_batch_size=config.batch_size,
                               chunk_size=min(config.iterations, 25_000))
-        with Timer() as t:
-            stacked, _, losses = train_population(
-                problem, model, jax.random.key(seed),
-                jnp.full((ensemble,), config.lrate), config=pc, mesh=mesh,
-            )
+        timings = {}
+        stacked, _, losses = train_population(
+            problem, model, jax.random.key(seed),
+            jnp.full((ensemble,), config.lrate), config=pc, mesh=mesh,
+            timings=timings,
+        )
         # Select by residual on a dense off-grid validation batch (pure
         # physics, no ground truth): grid-trained trials can zero the loss
         # on their collocation grid while oscillating between grid points.
+        stacked_state = timings.get("state")
         val_batch = problem.validation_sample(jax.random.key(seed + 1), 4096)
-        val_losses = jax.jit(jax.vmap(
-            lambda p: problem.loss(model.apply, p, val_batch)
-        ))(stacked)
+
+        def trial_loss(p, s):
+            apply_fn = model.apply if s is None else train_apply(model, s)
+            return problem.loss(apply_fn, p, val_batch)
+
+        if stacked_state is None:
+            val_losses = jax.jit(jax.vmap(lambda p: trial_loss(p, None)))(stacked)
+        else:
+            val_losses = jax.jit(jax.vmap(trial_loss))(stacked, stacked_state)
         pick = int(np.argmin(np.asarray(val_losses)))
         params = jax.tree.map(lambda a: a[pick], stacked)
+        if stacked_state is not None:
+            state = jax.tree.map(lambda a: a[pick], stacked_state)
         loss_history = losses[:, pick]
-        iters_per_sec = config.iterations / t.elapsed
-        wall_time = t.elapsed
+        # Steady-state throughput: compilation is timed separately inside
+        # train_population (same split as the single-run path).
+        wall_time = timings["run_time"]
+        compile_time = timings["compile_time"]
+        iters_per_sec = config.iterations / wall_time if wall_time else 0.0
     else:
         result = train(problem, jax.random.key(seed), config, model=model,
                        mesh=mesh)
         params = result.params
+        state = result.state
         loss_history = result.loss_history
         iters_per_sec = result.iters_per_sec
         wall_time = result.wall_time
+        compile_time = result.compile_time
 
     if finetune:
         from differential_equations_dnn_tpu.train import finetune_lbfgs
 
         params, ft_losses = finetune_lbfgs(
             problem, params, jax.random.key(seed + 1), steps=finetune,
-            model=model)
+            model=model, apply_fn=train_apply(model, state))
         loss_history = np.concatenate([loss_history, ft_losses])
+        if state is not None:
+            # Refresh the running stats for the polished params.
+            refresh = problem.validation_sample(jax.random.key(seed + 2), 1024)
+            state = update_state(model, params, state,
+                                 problem.domain_inputs(refresh))
 
-    solution = problem.evaluate(model.apply, params, nodes=nodes)
+    apply_fn = eval_apply(model, state)
+    solution = problem.evaluate(apply_fn, params, nodes=nodes)
     exact = problem.exact(nodes)
     return SolveResult(
         problem=problem,
@@ -130,4 +179,6 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         loss_history=loss_history,
         iters_per_sec=iters_per_sec,
         wall_time=wall_time,
+        compile_time=compile_time,
+        state=state,
     )

@@ -75,11 +75,11 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the collocation batch over N devices (0 = off)")
-    p.add_argument("--ensemble", type=int, default=0,
+    p.add_argument("--ensemble", type=int, default=None,
                    help="train N replicas as one vmapped population and keep "
-                        "the best by off-grid validation residual "
-                        "(recommended: 8 for fitzhugh-nagumo, whose init "
-                        "sensitivity is high)")
+                        "the best by off-grid validation residual (default: "
+                        "auto — 8 for the init-sensitive fitzhugh-nagumo DGM "
+                        "arch, single run otherwise; pass 1 to force single)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation")
@@ -90,32 +90,53 @@ def _solve(problem, args):
     if getattr(args, "ensemble", 0) and args.ensemble > 1:
         return _solve_ensemble(problem, args)
     config = TrainConfig(iterations=args.niters, batch_size=args.batch_size,
-                         lrate=args.lrate)
+                         lrate=args.lrate, schedule=problem.defaults.schedule)
     mesh = None
     if args.mesh:
         from differential_equations_dnn_tpu.parallel import make_mesh
 
         mesh = make_mesh({"data": args.mesh})
-    params = start_step = None
+    model = problem.default_model()
+    params = opt_state = state = None
+    start_step = 0
     if args.restore:
-        from differential_equations_dnn_tpu.train import restore_checkpoint
+        from differential_equations_dnn_tpu.train import (
+            checkpoint_like,
+            restore_checkpoint,
+        )
 
-        ckpt = restore_checkpoint(args.restore)
-        params, start_step = ckpt["params"], int(ckpt["step"])
+        # ``like`` makes orbax restore with the training dtypes/shardings
+        # instead of falling back to host numpy.
+        like = checkpoint_like(problem, config, model=model, seed=args.seed)
+        ckpt = restore_checkpoint(args.restore, like=like)
+        params, opt_state = ckpt["params"], ckpt["opt_state"]
+        state = ckpt.get("state")
+        start_step = int(ckpt["step"])
+        if int(ckpt["seed"]) != args.seed:
+            # The collocation stream is keyed by the seed; resuming under a
+            # different one would silently change the trajectory.
+            print(f"[restore] checkpoint was trained with --seed "
+                  f"{int(ckpt['seed'])}; using it instead of {args.seed}")
+            args.seed = int(ckpt["seed"])
         print(f"Restored checkpoint at step {start_step} from {args.restore}")
     result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
-                   params=params, start_step=start_step or 0)
-    model = problem.default_model()
+                   model=model, params=params, opt_state=opt_state,
+                   state=state, start_step=start_step)
     if getattr(args, "finetune", 0):
+        from differential_equations_dnn_tpu.models import train_apply
         from differential_equations_dnn_tpu.train import finetune_lbfgs
 
         result.params, ft_losses = finetune_lbfgs(
             problem, result.params, jax.random.key(args.seed + 1),
-            steps=args.finetune, model=model)
+            steps=args.finetune, model=model,
+            apply_fn=train_apply(model, result.state))
         result.loss_history = np.concatenate([result.loss_history, ft_losses])
         print(f"[{problem.name}] L-BFGS finetune: loss "
               f"{ft_losses[0]:.3e} -> {ft_losses[-1]:.3e}")
-    y_approx = problem.evaluate(model.apply, result.params, nodes=args.nnodes)
+    from differential_equations_dnn_tpu.models import eval_apply
+
+    y_approx = problem.evaluate(eval_apply(model, result.state), result.params,
+                                nodes=args.nnodes)
     y_exact = problem.exact(args.nnodes)
 
     sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
@@ -129,13 +150,20 @@ def _solve(problem, args):
                    directory=args.results_dir)
 
     if args.checkpoint:
-        save_checkpoint(args.checkpoint,
-                        {"params": result.params,
-                         "step": np.asarray((start_step or 0) + args.niters)})
+        # Full optimisation state: resuming continues BIT-identically to an
+        # uninterrupted run (Adam moments included; the step-keyed
+        # collocation stream makes the data identical too).
+        tree = {"params": result.params,
+                "opt_state": result.opt_state,
+                "step": np.asarray(start_step + args.niters, np.int64),
+                "seed": np.asarray(args.seed, np.int64)}
+        if result.state is not None:
+            tree["state"] = result.state
+        save_checkpoint(args.checkpoint, tree)
     if args.export_path:
         from differential_equations_dnn_tpu.serving import export_solution
 
-        export_solution(model.apply, result.params,
+        export_solution(eval_apply(model, result.state), result.params,
                         input_dim=model.input_dim, path=args.export_path)
         print(f"Exported solution artifact to {args.export_path}")
     parameters_summary(
@@ -163,16 +191,22 @@ def _solve_ensemble(problem, args):
 
     res = api_solve(problem, iterations=args.niters,
                     batch_size=args.batch_size, lrate=args.lrate,
-                    nodes=args.nnodes, seed=args.seed, ensemble=args.ensemble)
+                    nodes=args.nnodes, seed=args.seed, ensemble=args.ensemble,
+                    finetune=getattr(args, "finetune", 0))
     sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
     save_array(sol_name, res.solution, directory=args.results_dir)
     save_array(loss_name, res.loss_history, directory=args.results_dir)
     save_array(exact_name, res.exact, directory=args.results_dir)
     if args.checkpoint:
-        save_checkpoint(args.checkpoint,
-                        {"params": res.params, "step": np.asarray(args.niters)})
+        tree = {"params": res.params,
+                "step": np.asarray(args.niters, np.int64),
+                "seed": np.asarray(args.seed, np.int64)}
+        if res.state is not None:
+            tree["state"] = res.state
+        save_checkpoint(args.checkpoint, tree)
     print(f"[{problem.name}] ensemble={args.ensemble}: best-trial MAE "
-          f"{res.mae:.6f}, {res.iters_per_sec:.0f} iters/s (population)")
+          f"{res.mae:.6f}, {res.iters_per_sec:.0f} iters/s (population, "
+          f"compile {res.compile_time:.1f}s excluded)")
     return res
 
 
@@ -220,6 +254,12 @@ def _plot(problem, args):
 def _cmd_equation(name, args):
     problem_cls = PROBLEMS[name]
     if name == "fredholm":
+        if getattr(args, "parity", False):
+            # Reference-exact configuration (fredholm.py:142-144): k=50
+            # Monte-Carlo quadrature nodes. Seed-noisy (MAE 0.011-0.026
+            # straddling the reference's 0.0134); the default Gauss-Legendre
+            # quadrature beats it on every seed.
+            args.quadrature, args.quad_nodes = "montecarlo", 50
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
         problem = problem_cls(arch=args.arch)
@@ -227,6 +267,17 @@ def _cmd_equation(name, args):
         problem = problem_cls(taps=args.taps)
     else:
         problem = problem_cls()
+    if getattr(args, "ensemble", None) is None:
+        # Robust default: the reference-parity FitzHugh-Nagumo DGM arch is
+        # init-sensitive (single-seed MAE 0.005-0.76); best-of-8 with
+        # off-grid validation selection beats the reference on every seed.
+        # Force a single run with --ensemble 1.
+        args.ensemble = 8 if (name == "fitzhugh_nagumo"
+                              and args.arch == "dgm") else 0
+        if args.ensemble:
+            print(f"[{name}] arch=dgm is init-sensitive: defaulting to "
+                  f"--ensemble {args.ensemble} (pass --ensemble 1 to force "
+                  f"a single run)")
     if args.solve:
         _solve(problem, args)
     if args.plot:
@@ -236,7 +287,11 @@ def _cmd_equation(name, args):
 
 
 def _cmd_sweep(args):
-    from differential_equations_dnn_tpu.sweep import random_search, successive_halving
+    from differential_equations_dnn_tpu.sweep import (
+        random_search,
+        successive_halving,
+        tpe_search,
+    )
 
     problem = PROBLEMS[args.equation]()
     key = jax.random.key(args.seed)
@@ -250,6 +305,12 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             mesh=mesh,
+        )
+    elif args.scheduler == "tpe":
+        result = tpe_search(
+            problem, key, num_samples=args.num_samples,
+            max_iters=args.max_iters, max_batch_size=args.max_batch_size,
+            mesh=mesh, seed=args.seed,
         )
     else:
         result = random_search(
@@ -318,8 +379,14 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "fredholm":
             p.add_argument("--quadrature",
                            choices=["montecarlo", "gauss", "halton"],
-                           default="montecarlo")
+                           default="gauss",
+                           help="integral quadrature (default gauss: beats "
+                                "the reference MAE on every seed)")
             p.add_argument("--quad-nodes", type=int, default=50)
+            p.add_argument("--parity", action="store_true",
+                           help="reference-exact mode: Monte-Carlo "
+                                "quadrature with k=50 (fredholm.py:142-144; "
+                                "seed-noisy by construction)")
         if name == "heat":
             p.add_argument("--taps", choices=["jvp", "taylor", "pallas"],
                            default="taylor",
@@ -342,7 +409,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=512)
-    p.add_argument("--scheduler", choices=["random", "asha"], default="random")
+    p.add_argument("--scheduler", choices=["random", "asha", "tpe"],
+                   default="random",
+                   help="random = pure sampling; asha = successive halving; "
+                        "tpe = adaptive model-based (the reference's "
+                        "OptunaSearch role, optimize_heat_ray.py:179)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
     p.add_argument("--results-dir", type=str, default="temp_results")

@@ -32,6 +32,10 @@ class TrainDefaults:
     batch_size: int
     lrate: float = 1e-4
     nodes: int = 40
+    # Default learning-rate schedule for this equation ("constant" matches
+    # the reference's fixed-lr Adam, heat.py:115; equations whose accuracy
+    # regresses with budget at a fixed lr override with "cosine").
+    schedule: str = "constant"
 
 
 @dataclass(frozen=True)
@@ -52,6 +56,27 @@ class Problem:
         to zero ON the grid while oscillating between grid points (observed
         on FitzHugh–Nagumo), and only off-grid residuals expose that."""
         return self.sample(key, n)
+
+    @property
+    def max_sample_size(self):
+        """Largest per-step collocation batch ``sample`` can produce, or None
+        if unbounded. Fixed-grid problems (FitzHugh–Nagumo's 200-point grid,
+        the UAT demo's 50-point grid) override this; hyperparameter sweeps
+        clamp their batch-size search space to it."""
+        return None
+
+    def domain_inputs(self, batch):
+        """The interior-collocation inputs of a training batch [B, d].
+
+        Used by the trainer to refresh stateful-model (BatchNorm) running
+        statistics from the training distribution. The shared samplers name
+        the interior points "xt" (PDEs), "t" (ODEs) or "x" (function fits);
+        problems with other layouts override this."""
+        if isinstance(batch, dict):
+            for name in ("xt", "t", "x"):
+                if name in batch:
+                    return batch[name]
+        return jax.tree.leaves(batch)[0]
 
     def point_loss(self, apply_fn, params, batch):
         """Per-collocation-point summed squared residuals, shape [B].

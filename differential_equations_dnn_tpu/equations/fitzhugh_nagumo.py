@@ -66,6 +66,12 @@ class FitzHughNagumo(Problem):
         return DGM(input_dim=1, output_dim=2, hidden_size=128, num_layers=4,
                    activation="tanh", init_scheme="torch")
 
+    @property
+    def max_sample_size(self):
+        # Subsampling WITHOUT replacement from the fixed training grid
+        # (reference fitzhugh_nagumo.py:130-131) caps the batch size.
+        return self.grid_points
+
     def sample(self, key, n):
         sampler = GridSubsample(0.0, self.t_max, self.grid_points)
         return {"t": sampler.sample(key, n), "t0": jnp.zeros((n, 1))}

@@ -9,10 +9,11 @@ exact 2·sin(t) :40-44.
 
 TPU design: the k quadrature nodes become ONE batched forward of shape
 [n·k, 1] fused with the collocation forward — a single matmul chain instead of
-50 sequential launches. Monte-Carlo nodes (fresh per step, per collocation
-point — matching ``rand_like`` fredholm.py:66) are the parity default;
-``quadrature="gauss"`` switches to a deterministic Gauss–Legendre rule that
-needs far fewer nodes for this smooth separable kernel.
+50 sequential launches. The default quadrature is deterministic
+Gauss–Legendre, which beats the reference's published MAE (0.0134) on every
+seed; ``quadrature="montecarlo"`` is the reference-parity mode (fresh uniform
+nodes per step per collocation point, matching ``rand_like`` fredholm.py:66 —
+and inheriting its seed noise, MAE 0.011–0.026). CLI: ``--parity``.
 """
 
 import math
@@ -32,7 +33,7 @@ class Fredholm2(Problem):
     name: str = "fredholm"
     upper: float = math.pi / 2.0
     k: int = 50                      # quadrature nodes
-    quadrature: str = "montecarlo"   # "montecarlo" | "gauss" | "halton"
+    quadrature: str = "gauss"        # "gauss" | "montecarlo" | "halton"
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=3000, batch_size=32, nodes=50)
     )

@@ -43,6 +43,12 @@ class _InverseModel:
     def apply(self, params, x):
         return self.net.apply(params["net"], x)
 
+    @property
+    def input_dim(self):
+        # Solution-export path reads model.input_dim (serving.export_solution
+        # via cli --export); delegate to the wrapped net.
+        return self.net.input_dim
+
     def kappa(self, params):
         return jnp.exp(params["log_kappa"])
 

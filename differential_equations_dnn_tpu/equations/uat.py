@@ -30,6 +30,10 @@ class SineFit(Problem):
     def default_model(self):
         return Perceptron(input_dim=1, output_dim=1, hidden_size=3)
 
+    @property
+    def max_sample_size(self):
+        return self.n_points
+
     def sample(self, key, n):
         # Full-batch training on the fixed grid (reference :50); n is ignored
         # by design — the batch IS the grid.

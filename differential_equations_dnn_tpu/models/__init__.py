@@ -13,5 +13,12 @@ from differential_equations_dnn_tpu.models.mlp import MLP
 from differential_equations_dnn_tpu.models.dgm import DGM, dgm_cell
 from differential_equations_dnn_tpu.models.perceptron import Perceptron
 from differential_equations_dnn_tpu.models.resnet import ResNet, ResidualBlock
+from differential_equations_dnn_tpu.models.stateful import (
+    eval_apply,
+    init_model_state,
+    train_apply,
+    update_state,
+)
 
-__all__ = ["MLP", "DGM", "dgm_cell", "Perceptron", "ResNet", "ResidualBlock"]
+__all__ = ["MLP", "DGM", "dgm_cell", "Perceptron", "ResNet", "ResidualBlock",
+           "eval_apply", "init_model_state", "train_apply", "update_state"]

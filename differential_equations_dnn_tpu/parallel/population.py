@@ -26,7 +26,15 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+
+from differential_equations_dnn_tpu.core.prng import fold_index, key_chain
+from differential_equations_dnn_tpu.models.stateful import (
+    init_model_state,
+    train_apply,
+    update_state,
+)
+from differential_equations_dnn_tpu.parallel.sharding import shard_batch
+from differential_equations_dnn_tpu.utils.timing import Timer
 
 
 @dataclass(frozen=True)
@@ -45,7 +53,8 @@ def _adam():
 
 def train_population(problem, model, key, lrates, batch_sizes=None,
                      config: PopulationConfig | None = None, mesh=None,
-                     params=None, opt_state=None, apply_fn=None):
+                     params=None, opt_state=None, apply_fn=None,
+                     state=None, timings: dict | None = None):
     """Train ``P = len(lrates)`` trials simultaneously.
 
     Args:
@@ -58,9 +67,20 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
       mesh: optional Mesh with a ``config.pop_axis`` axis to shard trials.
       params/opt_state: optional stacked [P, ...] pytrees to resume from
         (e.g. successive-halving rungs re-entering survivors).
+      apply_fn: override the loss forward (defaults to ``model.apply``; for
+        stateful/BatchNorm models the train-mode forward is built
+        automatically).
+      state: optional stacked [P, ...] model state to resume from; stateful
+        models get fresh per-trial running stats by default.
+      timings: optional dict, filled with ``compile_time`` / ``run_time``
+        seconds (compilation is measured separately so callers can report
+        steady-state throughput — same split as train.trainer).
 
     Returns:
-      (params [P, ...], opt_state, losses [iterations, P] as np.ndarray)
+      (params [P, ...], opt_state, losses [iterations, P] as np.ndarray).
+      Stateful models: retrieve the trained running stats from
+      ``timings["state"]`` — kept out of the positional returns for
+      backward compatibility.
     """
     config = config or PopulationConfig()
     lrates = jnp.asarray(lrates)
@@ -70,15 +90,21 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
     else:
         batch_sizes = jnp.asarray(batch_sizes, jnp.int32)
 
-    apply_fn = apply_fn or model.apply
+    state0 = init_model_state(model)
+    stateful = state0 is not None and apply_fn is None
+    if apply_fn is None and not stateful:
+        apply_fn = model.apply
     opt = _adam()
 
     init_key, run_key = jax.random.split(key)
-    trial_keys = jax.vmap(lambda i: jax.random.fold_in(run_key, i))(
+    trial_keys = jax.vmap(lambda i: fold_index(run_key, i))(
         jnp.arange(n_trials)
     )
     if params is None:
-        params = jax.vmap(model.init)(jax.random.split(init_key, n_trials))
+        params = jax.vmap(model.init)(key_chain(init_key, n_trials))
+    if stateful and state is None:
+        state = jax.vmap(lambda _: init_model_state(model))(
+            jnp.arange(n_trials))
     if opt_state is None:
         opt_state = jax.vmap(opt.init)(params)
 
@@ -88,50 +114,67 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
             raise ValueError(
                 f"population size {n_trials} must divide evenly over the "
                 f"'{config.pop_axis}' mesh axis ({n_shards} shards)")
-        pop_sharding = NamedSharding(mesh, P(config.pop_axis))
-        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, pop_sharding), t)
+        put = lambda t: shard_batch(t, mesh, config.pop_axis)
         params, opt_state = put(params), put(opt_state)
         trial_keys = put(trial_keys)
         lrates, batch_sizes = put(lrates), put(batch_sizes)
+        if stateful:
+            state = put(state)
 
     mask_iota = jnp.arange(config.max_batch_size)
 
-    def trial_step(params, opt_state, tkey, step_idx, lr, bs):
-        skey = jax.random.fold_in(tkey, step_idx)
+    def trial_step(params, t_state, opt_state, tkey, step_idx, lr, bs):
+        skey = fold_index(tkey, step_idx)
         batch = problem.sample(skey, config.max_batch_size)
         mask = mask_iota < bs
+        loss_apply = (train_apply(model, t_state) if stateful else apply_fn)
         loss, grads = jax.value_and_grad(
-            lambda p: problem.loss(apply_fn, p, batch, mask=mask)
+            lambda p: problem.loss(loss_apply, p, batch, mask=mask)
         )(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-        return params, opt_state, loss
+        if stateful:
+            t_state = update_state(model, params, t_state,
+                                   problem.domain_inputs(batch))
+        return params, t_state, opt_state, loss
 
-    v_step = jax.vmap(trial_step, in_axes=(0, 0, 0, None, 0, 0))
+    v_step = jax.vmap(trial_step, in_axes=(0, 0, 0, 0, None, 0, 0))
 
     @partial(jax.jit, static_argnames=("length",))
-    def run_chunk(params, opt_state, start, length):
+    def run_chunk(params, state, opt_state, start, length):
         def body(carry, i):
-            params, opt_state = carry
-            params, opt_state, loss = v_step(
-                params, opt_state, trial_keys, i, lrates, batch_sizes
+            params, state, opt_state = carry
+            params, state, opt_state, loss = v_step(
+                params, state, opt_state, trial_keys, i, lrates, batch_sizes
             )
-            return (params, opt_state), loss
+            return (params, state, opt_state), loss
 
-        (params, opt_state), losses = lax.scan(
-            body, (params, opt_state), start + jnp.arange(length)
+        (params, state, opt_state), losses = lax.scan(
+            body, (params, state, opt_state), start + jnp.arange(length)
         )
-        return params, opt_state, losses
+        return params, state, opt_state, losses
 
     chunk = max(1, min(config.chunk_size, config.iterations))
     n_full, rem = divmod(config.iterations, chunk)
+    compile_timer = Timer()
+    with compile_timer:
+        if n_full > 0:
+            run_chunk.lower(params, state, opt_state, 0, chunk).compile()
     losses_out = []
     done = 0
-    for length in [chunk] * n_full + ([rem] if rem else []):
-        params, opt_state, losses = run_chunk(params, opt_state, done, length)
-        losses_out.append(np.asarray(losses))
-        done += length
+    run_timer = Timer()
+    with run_timer:
+        for length in [chunk] * n_full + ([rem] if rem else []):
+            params, state, opt_state, losses = run_chunk(
+                params, state, opt_state, done, length)
+            losses_out.append(np.asarray(losses))
+            done += length
+        jax.block_until_ready(params)
 
+    if timings is not None:
+        timings["compile_time"] = compile_timer.elapsed
+        timings["run_time"] = run_timer.elapsed
+        timings["state"] = state
     losses = np.concatenate(losses_out) if losses_out else np.zeros((0, n_trials))
     return params, opt_state, losses
 

@@ -17,8 +17,10 @@ from differential_equations_dnn_tpu.sweep.search import (
     choice,
     random_search,
     successive_halving,
+    tpe_search,
     SweepResult,
 )
+from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 from differential_equations_dnn_tpu.sweep.ablations import (
     batch_size_effect,
     batchnorm_effect,
@@ -32,6 +34,8 @@ __all__ = [
     "choice",
     "random_search",
     "successive_halving",
+    "tpe_search",
+    "TPESampler",
     "SweepResult",
     "batch_size_effect",
     "batchnorm_effect",

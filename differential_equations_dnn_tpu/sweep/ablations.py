@@ -69,21 +69,6 @@ def batch_size_effect(problem=None, key=None, batch_sizes=None, runs: int = 5,
     )
 
 
-def _bn_apply_fn(model):
-    """Train-mode apply for BN models: batch statistics, running-state
-    discarded (the residual loss is defined on batch stats, exactly like the
-    reference's train-mode forwards)."""
-    state0 = model.init_state()
-    if state0 is None:
-        return model.apply
-
-    def apply_fn(params, x):
-        y, _ = model.apply(params, x, state=state0, train=True)
-        return y
-
-    return apply_fn
-
-
 def batchnorm_effect(problem=None, key=None, runs: int = 5,
                      iterations: int = 15_000, batch_size: int = 64,
                      lrate: float = 1e-4, hidden_size: int = 128,
@@ -109,9 +94,12 @@ def batchnorm_effect(problem=None, key=None, runs: int = 5,
     curves = []
     for i, (label, model) in enumerate(configs):
         lrates = jnp.full((runs,), lrate, jnp.float32)
+        # BN models ride the standard stateful population path (their
+        # running statistics are threaded automatically; the loss uses
+        # train-mode batch stats exactly like the reference's forwards).
         _, _, losses = train_population(
             problem, model, jax.random.fold_in(key, i), lrates,
-            config=pop_config, mesh=mesh, apply_fn=_bn_apply_fn(model),
+            config=pop_config, mesh=mesh,
         )
         curves.append(losses.T)  # [runs, iterations]
 

@@ -129,6 +129,14 @@ class SweepResult:
 
 # ---- random search (the reference's 10-sample Optuna run) -------------------
 
+def _clamp_batch_cap(problem, max_batch_size: int) -> int:
+    """Clamp the sweep's batch-size ceiling to what the problem's sampler can
+    produce per step (fixed-grid samplers cannot exceed their grid — e.g.
+    FitzHugh–Nagumo's 200-point grid, the UAT demo's 50-point grid)."""
+    cap = problem.max_sample_size
+    return int(min(max_batch_size, cap)) if cap else int(max_batch_size)
+
+
 def random_search(problem, key, num_samples: int = 10, space: SearchSpace | None = None,
                   model=None, seed: int = 0, mesh=None, max_batch_size: int = 512,
                   max_iters: int | None = None, chunk_size: int = 1000) -> SweepResult:
@@ -138,6 +146,7 @@ def random_search(problem, key, num_samples: int = 10, space: SearchSpace | None
     reference's metric (optimize_heat_ray.py:157,196)."""
     space = space or heat_search_space()
     model = model or problem.default_model()
+    max_batch_size = _clamp_batch_cap(problem, max_batch_size)
     draws = space.sample(seed, num_samples)
 
     lrates = np.asarray(draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
@@ -181,6 +190,7 @@ def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace |
     scheduler was inert anyway since trials reported once (SURVEY §3.5)."""
     space = space or heat_search_space()
     model = model or problem.default_model()
+    max_batch_size = _clamp_batch_cap(problem, max_batch_size)
     draws = space.sample(seed, num_samples)
 
     lrates = jnp.asarray(draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
@@ -199,6 +209,11 @@ def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace |
     budget = int(min_budget)
     spent = 0
     last_scores = np.zeros(num_samples)
+    # Per-trial realised budget: the rung at which the trial stopped. The
+    # space's n_iters draw is deliberately ignored — the halving scheduler
+    # OWNS budget allocation (that is its whole function); configs report
+    # the iterations each trial actually trained.
+    iters_done = np.zeros(num_samples, dtype=np.int64)
     total_losses = []
 
     while True:
@@ -214,6 +229,7 @@ def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace |
         rung_scores = losses[-1]
         last_scores[alive] = rung_scores
         spent = budget
+        iters_done[alive] = spent
         if budget >= max_budget or len(alive) <= 1:
             break
         keep = max(1, len(alive) // eta)
@@ -226,9 +242,89 @@ def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace |
 
     configs = [
         {"batch_size": int(batch_sizes[i]), "lrate": float(lrates[i]),
-         "n_iters": spent if i in alive else None}
+         "n_iters": int(iters_done[i])}
         for i in range(num_samples)
     ]
     # Non-survivors keep their last rung score; survivors their final score.
     return SweepResult(configs=configs, scores=np.asarray(last_scores),
                        losses=None, params=params, param_indices=alive)
+
+
+# ---- TPE search (the reference's OptunaSearch role) --------------------------
+
+def tpe_search(problem, key, num_samples: int = 10, space: SearchSpace | None = None,
+               model=None, seed: int = 0, mesh=None, max_batch_size: int = 512,
+               max_iters: int | None = None, chunk_size: int = 1000,
+               rounds: int = 3, gamma: float = 0.25) -> SweepResult:
+    """Adaptive model-based search: TPE ask/tell on the host between vmapped
+    population rounds on device.
+
+    This completes the Ray-Tune replacement — the reference's sweep is
+    OptunaSearch (TPE) + ASHA (optimize_heat_ray.py:179-181); ``tpe_search``
+    is the TPE half, ``successive_halving`` the ASHA half. ``num_samples``
+    trials run in ``rounds`` equal device batches (first batch random
+    bootstrap, later batches TPE proposals informed by all previous scores),
+    so every round reuses ONE compiled population program.
+
+    Every trial trains to the shared budget (``max_iters`` or the problem's
+    reference budget); a trial drawing a smaller ``n_iters`` is scored from
+    the loss history at its own budget, exactly like ``random_search``."""
+    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
+
+    space = space or heat_search_space()
+    model = model or problem.default_model()
+    max_batch_size = _clamp_batch_cap(problem, max_batch_size)
+    budget = int(max_iters if max_iters is not None
+                 else problem.defaults.iterations)
+
+    rounds = max(1, min(rounds, num_samples))
+    per_round = -(-num_samples // rounds)  # ceil: equal program shape per round
+    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
+                         n_initial=per_round)
+
+    pop_config = PopulationConfig(iterations=budget,
+                                  max_batch_size=max_batch_size,
+                                  chunk_size=chunk_size)
+    all_configs: list[dict] = []
+    all_scores: list[float] = []
+    best_params = None
+    best_flat_idx = -1
+    best_score = np.inf
+    n_done = 0
+    r = 0
+    while n_done < num_samples:
+        proposals = sampler.ask(per_round)
+        lrates = jnp.asarray(
+            [float(c.get("lrate", problem.defaults.lrate)) for c in proposals],
+            dtype=jnp.float32)
+        batch_sizes = jnp.asarray(
+            [min(int(c.get("batch_size", problem.defaults.batch_size)),
+                 max_batch_size) for c in proposals], dtype=jnp.int32)
+        n_iters = np.asarray(
+            [min(int(c.get("n_iters", budget)), budget) for c in proposals],
+            dtype=np.int64)
+        params, _, losses = train_population(
+            problem, model, jax.random.fold_in(key, r), lrates, batch_sizes,
+            config=pop_config, mesh=mesh,
+        )
+        scores = losses[n_iters - 1, np.arange(per_round)]
+        resolved = [
+            {"batch_size": int(b), "n_iters": int(i), "lrate": float(l)}
+            for b, i, l in zip(batch_sizes, n_iters, lrates)
+        ]
+        sampler.tell(resolved, scores)
+        finite = np.where(np.isfinite(scores), scores, np.inf)
+        round_best = int(np.argmin(finite))
+        if finite[round_best] < best_score:
+            # Retain the GLOBAL best trial's trained params across rounds.
+            best_score = float(finite[round_best])
+            best_flat_idx = len(all_configs) + round_best
+            best_params = take_trials(params, np.array([round_best]))
+        all_configs.extend(resolved)
+        all_scores.extend(float(s) for s in scores)
+        n_done += per_round
+        r += 1
+
+    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
+                       losses=None, params=best_params,
+                       param_indices=np.array([best_flat_idx]))

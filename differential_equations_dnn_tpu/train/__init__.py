@@ -8,6 +8,7 @@ from differential_equations_dnn_tpu.train.trainer import (
 )
 from differential_equations_dnn_tpu.train.metrics import mean_absolute_error, l2_error
 from differential_equations_dnn_tpu.train.checkpoint import (
+    checkpoint_like,
     save_checkpoint,
     restore_checkpoint,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "make_train_step",
     "mean_absolute_error",
     "l2_error",
+    "checkpoint_like",
     "save_checkpoint",
     "restore_checkpoint",
     "finetune_lbfgs",

@@ -9,7 +9,35 @@ and 150k-iteration runs (fitzhugh_nagumo.py:181) survive preemption.
 
 from pathlib import Path
 
+import numpy as np
+
+import jax
 import orbax.checkpoint as ocp
+
+
+def checkpoint_like(problem, config, model=None, seed: int = 0):
+    """Abstract skeleton of a full training checkpoint — pass as ``like`` to
+    ``restore_checkpoint`` for dtype/sharding-correct restore.
+
+    Matches the tree the CLI saves: params + opt_state (+ model state for
+    BatchNorm nets) + step + seed. Everything is built with ``jax.eval_shape``
+    so no device memory is touched."""
+    from differential_equations_dnn_tpu.models.stateful import init_model_state
+    from differential_equations_dnn_tpu.train.trainer import _make_optimizer
+
+    model = model or problem.default_model()
+    params = jax.eval_shape(model.init, jax.random.key(seed))
+    opt_state = jax.eval_shape(_make_optimizer(config).init, params)
+    like = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": np.zeros((), np.int64),
+        "seed": np.zeros((), np.int64),
+    }
+    state = jax.eval_shape(lambda: init_model_state(model))
+    if state is not None:
+        like["state"] = state
+    return like
 
 
 def save_checkpoint(path: str | Path, tree, *, force: bool = True):

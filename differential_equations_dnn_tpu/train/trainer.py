@@ -32,8 +32,14 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
+from differential_equations_dnn_tpu.core.prng import fold_index
+from differential_equations_dnn_tpu.models.stateful import (
+    init_model_state,
+    train_apply,
+    update_state,
+)
+from differential_equations_dnn_tpu.parallel.sharding import constrain_batch
 from differential_equations_dnn_tpu.utils.timing import Timer
 
 # ---------------------------------------------------------------------------
@@ -63,16 +69,23 @@ def inject_fault(at_dispatch: int):
     return _ctx()
 
 
-_RECOVERABLE = "TPU worker process crashed"  # substring match on runtime errs
+# Known device/worker-failure signatures (substring match on runtime errors).
+# Deterministic runtime errors (shape mismatches, OOM) are NOT retried —
+# restarting from a snapshot cannot fix them and only delays the diagnosis.
+_RECOVERABLE = (
+    "TPU worker process crashed",   # observed on this hardware (round 1)
+    "worker process restarted",
+    "DATA_LOSS",
+    "device is in an invalid state",
+    "failed to connect",
+)
 
 
 def _is_recoverable(err: Exception) -> bool:
     if isinstance(err, _InjectedFault):
         return True
-    # XLA surfaces device/worker failures as generic runtime errors; be
-    # conservative: retry on the known worker-crash signature and on
-    # jax.errors.JaxRuntimeError.
-    return isinstance(err, jax.errors.JaxRuntimeError) or _RECOVERABLE in str(err)
+    msg = str(err)
+    return any(sig in msg for sig in _RECOVERABLE)
 
 
 @dataclass(frozen=True)
@@ -116,6 +129,10 @@ class TrainResult:
     wall_time: float
     iters_per_sec: float
     compile_time: float = 0.0
+    # Mutable model state (BatchNorm running statistics); None for the
+    # stateless models. Pass to ``models.stateful.eval_apply`` for eval-mode
+    # forwards.
+    state: Any = None
 
     @property
     def final_loss(self) -> float:
@@ -149,16 +166,19 @@ def _make_optimizer(config: TrainConfig):
 
 
 def make_train_step(problem, apply_fn, optimizer, batch_size, mesh=None,
-                    data_axis="data", adaptive_oversample=0):
+                    data_axis="data", adaptive_oversample=0, model=None):
     """Build the pure per-iteration step:
-    ``step((params, opt_state), key) -> ((params, opt_state), loss)``."""
+    ``step((params, state, opt_state), key) -> ((params, state, opt_state), loss)``.
 
-    batch_sharding = None
-    if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(data_axis))
+    ``state`` is the model's mutable pytree (BatchNorm running statistics) —
+    ``None`` for stateless models, in which case the step traces to exactly
+    the stateless program. Stateful models require ``model`` (the reference
+    trains BN nets through the same loop, batchnorm_effect_heat.py:239; here
+    the loss uses train-mode batch statistics — state-independent — and the
+    running stats are refreshed once per step from the domain batch)."""
 
     def step(carry, key):
-        params, opt_state = carry
+        params, state, opt_state = carry
         if adaptive_oversample > 1:
             # Residual-based adaptive collocation: oversample candidates,
             # keep the hardest points under the CURRENT params (selection is
@@ -169,28 +189,35 @@ def make_train_step(problem, apply_fn, optimizer, batch_size, mesh=None,
             batch = jax.tree.map(lambda a: a[idx], cand)
         else:
             batch = problem.sample(key, batch_size)
-        if batch_sharding is not None:
-            batch = jax.tree.map(
-                lambda a: lax.with_sharding_constraint(a, batch_sharding), batch
-            )
+        if mesh is not None:
+            batch = constrain_batch(batch, mesh, data_axis)
+        loss_apply = apply_fn if state is None else train_apply(model, state)
         loss, grads = jax.value_and_grad(
-            lambda p: problem.loss(apply_fn, p, batch)
+            lambda p: problem.loss(loss_apply, p, batch)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        if state is not None:
+            state = update_state(model, params, state,
+                                 problem.domain_inputs(batch))
+        return (params, state, opt_state), loss
 
     return step
 
 
 def train(problem, key, config: TrainConfig | None = None, model=None,
-          params=None, opt_state=None, mesh=None, start_step: int = 0,
-          profile_dir: str | None = None) -> TrainResult:
+          params=None, opt_state=None, state=None, mesh=None,
+          start_step: int = 0, profile_dir: str | None = None) -> TrainResult:
     """Train ``model`` (default: ``problem.default_model()``) on ``problem``.
 
     Chunked execution: ``ceil(iterations / chunk_size)`` jit dispatches, each
     a ``lax.scan`` over up to ``chunk_size`` fully-fused steps. At most two
     distinct scan lengths compile (full chunk + remainder).
+
+    Stateful models (BatchNorm variants) train on this same path — the state
+    pytree (running statistics) is threaded through the scan carry and
+    returned as ``TrainResult.state`` (reference parity: BN nets go through
+    the one shared loop, batchnorm_effect_heat.py:239-290).
     """
     config = config or TrainConfig(
         iterations=problem.defaults.iterations,
@@ -203,20 +230,24 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
     init_key, run_key = jax.random.split(key)
     if params is None:
         params = model.init(init_key)
+    if state is None:
+        state = init_model_state(model)
     optimizer = _make_optimizer(config)
     if opt_state is None:
         opt_state = optimizer.init(params)
 
     step = make_train_step(problem, apply_fn, optimizer, config.batch_size,
                            mesh=mesh, data_axis=config.data_axis,
-                           adaptive_oversample=config.adaptive_oversample)
+                           adaptive_oversample=config.adaptive_oversample,
+                           model=model)
 
     @partial(jax.jit, static_argnames=("length",))
-    def run_chunk(params, opt_state, start, length):
+    def run_chunk(params, state, opt_state, start, length):
         steps = start + jnp.arange(length)
-        keys = jax.vmap(lambda i: jax.random.fold_in(run_key, i))(steps)
-        (params, opt_state), losses = lax.scan(step, (params, opt_state), keys)
-        return params, opt_state, losses
+        keys = jax.vmap(lambda i: fold_index(run_key, i))(steps)
+        (params, state, opt_state), losses = lax.scan(
+            step, (params, state, opt_state), keys)
+        return params, state, opt_state, losses
 
     chunk = max(1, min(config.chunk_size, config.iterations))
     n_full, rem = divmod(config.iterations, chunk)
@@ -226,13 +257,13 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
     with compile_timer:
         # Trigger compilation of the full-chunk program before timing the run.
         if n_full > 0:
-            run_chunk.lower(params, opt_state, 0, chunk).compile()
+            run_chunk.lower(params, state, opt_state, 0, chunk).compile()
 
     metrics_fh = open(config.metrics_file, "a") if config.metrics_file else None
     chunks = [chunk] * n_full + ([rem] if rem else [])
     snapshot = None
     if config.snapshot_every:
-        snapshot = (jax.tree.map(np.asarray, (params, opt_state)),
+        snapshot = (jax.tree.map(np.asarray, (params, state, opt_state)),
                     start_step, 0)
     retries = 0
     dispatch_idx = 0
@@ -250,8 +281,8 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                         raise _InjectedFault(f"injected at dispatch {dispatch_idx}")
                     chunk_timer = Timer()
                     with chunk_timer:
-                        params, opt_state, losses = run_chunk(
-                            params, opt_state, done, chunk_len)
+                        params, state, opt_state, losses = run_chunk(
+                            params, state, opt_state, done, chunk_len)
                         losses = np.asarray(losses)
                 except Exception as err:  # noqa: BLE001 — filtered below
                     dispatch_idx += 1
@@ -260,7 +291,8 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                         raise
                     retries += 1
                     (host_state, done, n_chunks_kept) = snapshot
-                    params, opt_state = jax.tree.map(jnp.asarray, host_state)
+                    params, state, opt_state = jax.tree.map(
+                        jnp.asarray, host_state)
                     losses_out = losses_out[:n_chunks_kept]
                     ci = n_chunks_kept
                     print(f"[recovery] device failure ({type(err).__name__}); "
@@ -278,7 +310,8 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                 done += chunk_len
                 ci += 1
                 if config.snapshot_every and ci % config.snapshot_every == 0:
-                    snapshot = (jax.tree.map(np.asarray, (params, opt_state)),
+                    snapshot = (jax.tree.map(np.asarray,
+                                             (params, state, opt_state)),
                                 done, ci)
                 if metrics_fh:
                     import json
@@ -306,4 +339,5 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
         wall_time=t.elapsed,
         iters_per_sec=config.iterations / t.elapsed if t.elapsed else math.inf,
         compile_time=compile_timer.elapsed,
+        state=state,
     )

@@ -1,0 +1,117 @@
+"""Stateful (BatchNorm) models on the STANDARD training path — round-2
+feature: the reference trains BN nets through the same minimize_loss_dgm loop
+as everything else (batchnorm_effect_heat.py:239-290); here train()/solve()/
+train_population thread the running-statistics pytree automatically."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.api import solve
+from differential_equations_dnn_tpu.equations import Heat1D, SimpleODE
+from differential_equations_dnn_tpu.models import (
+    MLP,
+    eval_apply,
+    init_model_state,
+    train_apply,
+)
+from differential_equations_dnn_tpu.train import TrainConfig, train
+
+
+def _bn_model(**kw):
+    return MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=2,
+               activation="tanh", **kw)
+
+
+@pytest.mark.parametrize("placement", ["pre", "post"])
+def test_bn_mlp_trains_on_standard_path(key, placement):
+    problem = Heat1D()
+    model = _bn_model(batch_norm=placement)
+    config = TrainConfig(iterations=200, batch_size=32, verbose=False)
+    result = train(problem, key, config, model=model)
+    assert result.state is not None
+    # Converges: mean loss over the last quarter beats the first quarter.
+    h = result.loss_history
+    assert h[-50:].mean() < h[:50].mean()
+
+
+def test_bn_running_stats_are_updated(key):
+    problem = Heat1D()
+    model = _bn_model(batch_norm="pre")
+    state0 = init_model_state(model)
+    result = train(problem, key, TrainConfig(iterations=20, batch_size=32,
+                                             verbose=False), model=model)
+    # Running stats moved away from their (0 mean, 1 var) init.
+    assert not np.allclose(np.asarray(result.state["mean"]),
+                           np.asarray(state0["mean"]))
+
+
+def test_solve_with_bn_model_end_to_end():
+    model = _bn_model(batch_norm="pre")
+    res = solve("heat", model=model, iterations=200, batch_size=32, nodes=8,
+                seed=0)
+    assert res.state is not None
+    assert np.isfinite(res.mae)
+    assert res.loss_history[-50:].mean() < res.loss_history[:50].mean()
+
+
+def test_eval_apply_uses_running_stats(key):
+    model = _bn_model(batch_norm="pre")
+    params = model.init(key)
+    state = init_model_state(model)
+    x = jax.random.normal(jax.random.key(1), (16, 2))
+    y_train = train_apply(model, state)(params, x)
+    y_eval = eval_apply(model, state)(params, x)
+    # Train mode normalises with batch stats, eval with (fresh) running
+    # stats — different outputs for a non-trivially-distributed batch.
+    assert not np.allclose(np.asarray(y_train), np.asarray(y_eval))
+    # Eval mode is pointwise: evaluating a subset matches the full batch.
+    y_sub = eval_apply(model, state)(params, x[:4])
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_eval[:4]),
+                               rtol=1e-6)
+
+
+def test_bn_population_standard_path(key):
+    """BatchNorm populations need no special apply_fn anymore (round-1's
+    _bn_apply_fn is gone) — per-trial state is vmapped automatically."""
+    from differential_equations_dnn_tpu.parallel import (
+        PopulationConfig,
+        train_population,
+    )
+
+    problem = Heat1D()
+    model = _bn_model(batch_norm="post")
+    timings = {}
+    params, _, losses = train_population(
+        problem, model, key, jnp.full((3,), 1e-3),
+        config=PopulationConfig(iterations=30, max_batch_size=16,
+                                chunk_size=30),
+        timings=timings,
+    )
+    assert losses.shape == (30, 3)
+    assert np.isfinite(losses[-1]).all()
+    state = timings["state"]
+    assert state is not None and state["mean"].shape[0] == 3
+
+
+def test_domain_inputs_defaults():
+    heat = Heat1D()
+    batch = heat.sample(jax.random.key(0), 4)
+    assert heat.domain_inputs(batch) is batch["xt"]
+    ode = SimpleODE()
+    batch = ode.sample(jax.random.key(0), 4)
+    assert ode.domain_inputs(batch) is batch["t"]
+
+
+def test_stateless_models_unchanged(key):
+    """The stateless path must trace to the same program as round 1: state
+    is None end-to-end and results stay bit-identical across calls."""
+    problem = Heat1D()
+    config = TrainConfig(iterations=30, batch_size=16, verbose=False)
+    r1 = train(problem, key, config)
+    r2 = train(problem, key, config)
+    assert r1.state is None
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

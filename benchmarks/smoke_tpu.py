@@ -46,6 +46,25 @@ def main(full: bool = False):
         if not ok:
             failures.append(name)
 
+    # Fused-kernel engine: the headline path must converge like the scan.
+    res = solve("heat", engine="fused", iterations=5000, seed=42)
+    ok = res.mae < 0.02
+    print(f"{'OK ' if ok else 'FAIL'} heat[fused]      mae={res.mae:.5f} "
+          f"(bound 0.02)  {res.iters_per_sec:.0f} it/s")
+    if not ok:
+        failures.append("heat_fused_engine")
+
+    # heat2d budget monotonicity (round-1 regression: constant lr made the
+    # FULL 20k budget end WORSE than a short one; the cosine default must
+    # keep more-training ≥ less-training).
+    short = solve("heat2d", iterations=5000, seed=42)
+    full_run = solve("heat2d", seed=42)
+    ok = full_run.mae <= short.mae * 1.05
+    print(f"{'OK ' if ok else 'FAIL'} heat2d budget    full={full_run.mae:.5f} "
+          f"short={short.mae:.5f} (full must not regress)")
+    if not ok:
+        failures.append("heat2d_budget_monotonic")
+
     if failures:
         print("SMOKE FAILED:", failures)
         return 1

@@ -18,11 +18,17 @@ ONE kernel executes K Adam steps end-to-end on-chip:
 
 This removes ALL per-step XLA scheduling overhead: the entire training loop
 for the reference heat configuration runs inside one Mosaic program.
+Measured on TPU v5 lite (round 2): **65-73k iters/s at exact-fp32 MXU
+precision, MAE 0.0003 at the reference 15k-iteration budget** vs 29.6k
+iters/s for the XLA-scan trainer on the same chip/day — 2.2x, and ~320x the
+reference's torch-CPU loop; wins at batch 256 (25.9k vs 10.2k) and batch 512
+via gradient-accumulation tiles (14.7k vs 7.1k) too. Reachable via
+``solve("heat", engine="fused")`` or ``heat --engine fused`` on the CLI;
+bench.py uses it as the headline path.
 
 Restriction: plain tanh MLP (the heat equation's reference net,
 heat.py:181-184). The generic path (any model/equation) remains
-train.trainer; this kernel is the speed-of-light option benchmarked in
-bench.py extras.
+train.trainer.
 """
 
 import functools
@@ -35,6 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
+# MXU precision for every matmul in the kernel. HIGHEST = exact fp32
+# (multi-pass MXU): measured 70k it/s and MAE 0.0011 at the reference heat
+# budget. DEFAULT (bf16 inputs, fp32 accumulate) is ~1.6x faster (110k it/s)
+# but the bf16 rounding of the Taylor derivative streams costs ~14x MAE
+# (0.015) — still under the reference's 0.0529, but not worth it here.
 _HIGH = jax.lax.Precision.HIGHEST
 
 
@@ -207,10 +218,15 @@ def _adam_update(p, m, v, g, lr, t):
 _N_TENSORS = 6  # w_in, b_in, w_hid, b_hid, w_out, b_out
 
 
-def _train_kernel(B, L, S, x_max, t_max, kappa, lr,
+def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr,
                   step0_ref, u_ref, *refs):
     # refs layout: params_in (6), m_in (6), v_in (6),
-    #              losses_out, params_out (6), m_out (6), v_out (6)
+    #              losses_out, params_out (6), m_out (6), v_out (6).
+    # (Aliasing the state inputs onto the outputs was tried and REVERTED:
+    # it saves ~1.2 MB VMEM but on real TPUs the revisited output windows
+    # lose the cross-grid-cell state — chunk boundaries silently reset the
+    # optimiser. Interpret mode does not reproduce it; keep the explicit
+    # copy-in.)
     p_in = refs[0:6]
     m_in = refs[6:12]
     v_in = refs[12:18]
@@ -231,13 +247,33 @@ def _train_kernel(B, L, S, x_max, t_max, kappa, lr,
 
     def body(s, _):
         """One Adam step; S steps run per grid cell to amortise grid/DMA
-        overhead (the [S, B, 2] uniforms block is already in VMEM)."""
-        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
-        u = u_ref[s]                       # [B, 2] uniforms for this step
+        overhead (the [S, B, 2] uniforms block is already in VMEM).
 
-        loss, grads = fused_step_math(params, u, B, L, x_max, t_max, kappa)
+        Batches larger than the VMEM working set run as T gradient-
+        accumulation tiles of B/T points each: the live activation footprint
+        is one tile's, and averaging the equal-size tile gradients IS the
+        full-batch gradient (the loss is a batch mean)."""
+        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
+        tile = B // T
+        loss, grads = fused_step_math(params, u_ref[s, :tile], tile, L,
+                                      x_max, t_max, kappa)
+        for t in range(1, T):
+            loss_t, grads_t = fused_step_math(
+                params, u_ref[s, t * tile:(t + 1) * tile], tile, L,
+                x_max, t_max, kappa)
+            loss = loss + loss_t
+            grads = tuple(g + gt for g, gt in zip(grads, grads_t))
+        if T > 1:
+            inv = 1.0 / T
+            loss = loss * inv
+            grads = tuple(g * inv for g in grads)
+        # Lane-packed loss history: row = grid cell, lane = step-in-cell.
+        # (A [K, 1] layout pads every row to 128 lanes — megabytes of VMEM
+        # wasted on scalars; [K/S, 128] costs S·cells·4 bytes.)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = loss_ref[pl.ds(i, 1), :]
+        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
         step = i * S + s
-        loss_ref[pl.ds(step, 1), :] = loss.reshape(1, 1)
 
         t = (step0_ref[0] + step + 1).astype(jnp.float32)
         for k in range(_N_TENSORS):
@@ -253,7 +289,8 @@ def _train_kernel(B, L, S, x_max, t_max, kappa, lr,
 
 def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
                            x_max=math.pi, t_max=3.0, kappa=1.0,
-                           steps_per_cell: int = 50):
+                           steps_per_cell: int = 50,
+                           batch_tile: int | None = None):
     """Run ``K = uniforms.shape[0]`` Adam steps entirely inside one Pallas
     kernel. ``params``/``m``/``v`` are the flat tuples
     (w_in, b_in, w_hid, b_hid, w_out, b_out); ``uniforms`` is [K, B, 2] of
@@ -263,6 +300,10 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
     (must divide K); larger values amortise grid sequencing overhead at the
     cost of a bigger uniforms block in VMEM (S·B·2 floats).
 
+    ``batch_tile`` caps the live activation working set: batches larger than
+    it are processed as gradient-accumulation tiles (default 256 — measured
+    VMEM ceiling for the 7-stream fp32 working set; B must be divisible).
+
     Returns (params, m, v, losses[K])."""
     if model.batch_norm is not None or model.activation != "tanh":
         raise ValueError("fused train kernel supports plain tanh MLPs only")
@@ -270,8 +311,18 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
     L, H = model.num_layers, model.hidden_size
     D, O = model.input_dim, model.output_dim
     S = math.gcd(steps_per_cell, K)
+    if S > 128:
+        # Lane-packed loss rows hold ≤128 steps per grid cell.
+        S = math.gcd(S, 128)
+    # Default tile: whole batch up to 256 rows; beyond that the bigger
+    # uniforms block squeezes the budget — 128-row tiles fit (measured:
+    # bs512/tile128/spc6 runs at 14.4k it/s vs 7.1k for the XLA scan).
+    batch_tile = batch_tile or (min(B, 256) if B <= 256 else 128)
+    if B % batch_tile:
+        raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
+    T = B // batch_tile
 
-    kernel = functools.partial(_train_kernel, B, L, S, float(x_max),
+    kernel = functools.partial(_train_kernel, B, L, S, T, float(x_max),
                                float(t_max), float(kappa), float(lrate))
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
@@ -294,20 +345,20 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
             + state_specs * 3
         ),
         out_specs=(
-            # Loss history: whole (K,1) array resident in VMEM, written at
-            # row i each grid step (per-step (1,1) blocks violate TPU
-            # tiling rules in both VMEM and SMEM).
-            [pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+            # Loss history, lane-packed: row per grid cell, lane per step —
+            # a (K, 1) column would pad every scalar to a 128-lane row.
+            [pl.BlockSpec((K // S, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)]
             + state_specs * 3
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((K, 1), jnp.float32)]
+            [jax.ShapeDtypeStruct((K // S, 128), jnp.float32)]
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
         ),
         interpret=_interpret(),
     )(jnp.asarray([step0], jnp.int32), uniforms, *params, *m, *v)
 
-    losses = out[0][:, 0]
+    losses = out[0][:, :S].reshape(-1)
     p_new = tuple(out[1:7])
     m_new = tuple(out[7:13])
     v_new = tuple(out[13:19])
@@ -340,9 +391,37 @@ def unpack_params(model, flat):
 
 
 def train_heat_fused(problem, key, iterations, batch_size=64, lrate=1e-4,
-                     chunk_size=5000, model=None, params=None):
+                     chunk_size=25_000, model=None, params=None,
+                     steps_per_cell: int | None = None):
     """Train the heat equation with the fused kernel. Returns
     (params_pytree, losses np[iterations])."""
+    result = train_heat_fused_result(problem, key, iterations,
+                                     batch_size=batch_size, lrate=lrate,
+                                     chunk_size=chunk_size, model=model,
+                                     params=params,
+                                     steps_per_cell=steps_per_cell)
+    return result.params, result.loss_history
+
+
+def train_heat_fused_result(problem, key, iterations, batch_size=64,
+                            lrate=1e-4, chunk_size=25_000, model=None,
+                            params=None, steps_per_cell: int | None = None):
+    """Like :func:`train_heat_fused` but returns a full
+    ``train.trainer.TrainResult`` (compile time measured separately,
+    steady-state iters/sec) so the ``solve(engine="fused")`` / CLI
+    ``--engine fused`` path reports the same fields as the scan trainer.
+
+    ``opt_state`` holds the kernel's flat ``(m, v)`` Adam moments."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    if steps_per_cell is None:
+        # Empirical VMEM ceiling on v5 lite: larger products of (batch rows x
+        # steps-per-cell) exhaust the Mosaic scoped stack at compile time.
+        # Measured good points: (64, 100) 73.5k it/s; (256, 12) 25.9k;
+        # (512, 6, tile 128) 14.7k. (64, 250), (256, 20), (512, 12) OOM.
+        steps_per_cell = 100 if batch_size <= 64 else max(1, 3200 // batch_size)
     model = model or problem.default_model()
     init_key, run_key = jax.random.split(key)
     if params is None:
@@ -354,15 +433,34 @@ def train_heat_fused(problem, key, iterations, batch_size=64, lrate=1e-4,
     run = jax.jit(functools.partial(
         heat_fused_train_chunk, model,
         x_max=problem.x_max, t_max=problem.t_max, kappa=problem.kappa,
-        lrate=lrate,
-    ), static_argnames=())
+        lrate=lrate, steps_per_cell=steps_per_cell,
+    ))
+
+    chunk = max(1, min(chunk_size, iterations))
+    u0 = jax.random.uniform(jax.random.fold_in(run_key, 0),
+                            (chunk, batch_size, 2))
+    t0 = time.perf_counter()
+    compiled = run.lower(flat, m, v, u0, 0).compile()
+    compile_time = time.perf_counter() - t0
 
     losses_out = []
     done = 0
+    t0 = time.perf_counter()
     while done < iterations:
-        k = min(chunk_size, iterations - done)
-        u = jax.random.uniform(jax.random.fold_in(run_key, done), (k, batch_size, 2))
-        flat, m, v, losses = run(flat, m, v, u, done)
+        k = min(chunk, iterations - done)
+        u = jax.random.uniform(jax.random.fold_in(run_key, done),
+                               (k, batch_size, 2))
+        step_fn = compiled if k == chunk else run
+        flat, m, v, losses = step_fn(flat, m, v, u, done)
         losses_out.append(np.asarray(losses))
         done += k
-    return unpack_params(model, flat), np.concatenate(losses_out)
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_params(model, flat),
+        opt_state=(m, v),
+        loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )

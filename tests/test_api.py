@@ -67,3 +67,25 @@ def test_solve_with_finetune():
                 nodes=10, finetune=30)
     assert res.loss_history.shape == (430,)
     assert res.mae < 0.05
+
+
+def test_solve_fused_engine():
+    """solve(engine='fused') runs the whole loop in the Pallas kernel
+    (interpret mode on CPU) and reports compile/steady-state separately."""
+    from differential_equations_dnn_tpu.api import solve
+
+    res = solve("heat", engine="fused", iterations=300, batch_size=16,
+                lrate=1e-3, nodes=8)
+    assert res.loss_history.shape == (300,)
+    assert res.loss_history[-1] < res.loss_history[0]
+    assert np.isfinite(res.mae)
+
+
+def test_solve_fused_engine_guards():
+    from differential_equations_dnn_tpu.api import solve
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single-run"):
+        solve("heat", engine="fused", ensemble=4, iterations=10)
+    with _pytest.raises(ValueError, match="unknown engine"):
+        solve("heat", engine="warp", iterations=10)

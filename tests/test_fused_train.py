@@ -83,6 +83,35 @@ def test_kernel_matches_pure_loop(setup, key):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_batch_tiling_matches_full_batch(setup, key):
+    """Gradient-accumulation tiles (batch_tile < B) produce the same training
+    trajectory as the untiled kernel — averaging equal-size tile gradients IS
+    the full-batch gradient."""
+    prob, model, params = setup
+    flat = ft.pack_params(model, params)
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    u = jax.random.uniform(key, (3, 32, 2))
+    full = ft.heat_fused_train_chunk(model, flat, m, v, u, 0, 1e-4,
+                                     batch_tile=32)
+    tiled = ft.heat_fused_train_chunk(model, flat, m, v, u, 0, 1e-4,
+                                      batch_tile=8)
+    np.testing.assert_allclose(np.asarray(tiled[3]), np.asarray(full[3]),
+                               rtol=1e-5)
+    for a, b in zip(full[0], tiled[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_batch_tile_must_divide(setup, key):
+    prob, model, params = setup
+    flat = ft.pack_params(model, params)
+    with pytest.raises(ValueError, match="divisible"):
+        ft.heat_fused_train_chunk(model, flat, flat, flat,
+                                  jnp.zeros((1, 24, 2)), 0, 1e-4,
+                                  batch_tile=16)
+
+
 def test_train_heat_fused_converges(key):
     prob = Heat1D()
     model = prob.default_model()

@@ -28,7 +28,6 @@ def main(num_trials: int = 256, iterations: int = 2000):
         train_population,
     )
     from differential_equations_dnn_tpu.sweep.search import heat_search_space
-    from differential_equations_dnn_tpu.utils.timing import Timer
 
     problem = Heat1D(taps="taylor")
     model = problem.default_model()
@@ -38,15 +37,14 @@ def main(num_trials: int = 256, iterations: int = 2000):
 
     config = PopulationConfig(iterations=iterations, max_batch_size=128,
                               chunk_size=iterations)
-    # Warm-up / compile.
-    warm = PopulationConfig(iterations=1, max_batch_size=128, chunk_size=1)
-    train_population(problem, model, jax.random.key(0), lrates, batch_sizes,
-                     config=warm)
-
-    with Timer() as t:
-        _, _, losses = train_population(problem, model, jax.random.key(0),
-                                        lrates, batch_sizes, config=config)
-    trials_per_min = num_trials / (t.elapsed / 60.0)
+    # train_population compiles its chunk program before its timed loop and
+    # reports the split in `timings` — steady-state throughput, same
+    # convention as bench.py.
+    timings = {}
+    _, _, losses = train_population(problem, model, jax.random.key(0),
+                                    lrates, batch_sizes, config=config,
+                                    timings=timings)
+    trials_per_min = num_trials / (timings["run_time"] / 60.0)
     best = int(np.argmin(losses[-1]))
     print(json.dumps({
         "metric": "sweep_trials_per_min",
@@ -55,7 +53,8 @@ def main(num_trials: int = 256, iterations: int = 2000):
         "extras": {
             "num_trials": num_trials,
             "iterations_per_trial": iterations,
-            "wall_time_s": round(t.elapsed, 2),
+            "wall_time_s": round(timings["run_time"], 2),
+            "compile_time_s": round(timings["compile_time"], 2),
             "best_config": {"batch_size": int(batch_sizes[best]),
                             "lrate": float(lrates[best])},
             "best_final_loss": float(losses[-1, best]),

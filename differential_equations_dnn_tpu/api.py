@@ -43,24 +43,45 @@ class SolveResult:
                 f"{self.iters_per_sec:.0f} iters/s)")
 
 
-def _auto_ensemble(problem, model) -> int:
-    """Default ensemble width when the caller leaves ``ensemble=None``.
+def _needs_robust_defaults(problem, model) -> bool:
+    """The reference-parity FitzHugh–Nagumo DGM architecture is highly
+    init-sensitive: single-seed MAE lands anywhere in [0.005, 0.76] at the
+    reference budget, and even the best of 8 replicas (off-grid validation
+    selection picks the true-best — verified) only reaches MAE 0.01-0.05 on
+    bad seeds. Best-of-16 with top-3 post-polish selection (200 L-BFGS steps
+    each) beats the reference's published 0.0088 on EVERY seed tested:
+    MAE 0.0024-0.0048 over seeds 0-4 (round-2 TPU measurement). Everything
+    else trains reliably from one seed."""
+    return (model is None and problem.name == "fitzhugh_nagumo"
+            and getattr(problem, "arch", None) == "dgm")
 
-    The reference-parity FitzHugh–Nagumo DGM architecture is highly
-    init-sensitive (single-seed MAE anywhere in [0.005, 0.76] at the
-    reference budget); best-of-8 with off-grid validation selection beats
-    the reference's published 0.0088 on every seed tested. Everything else
-    trains reliably from one seed."""
-    if (model is None and problem.name == "fitzhugh_nagumo"
-            and getattr(problem, "arch", None) == "dgm"):
-        return 8
-    return 0
+
+def _polish_and_select(problem, model, stacked, val_losses, seed, steps,
+                       top_k: int = 3):
+    """L-BFGS-polish the ``top_k`` ensemble candidates (by pre-polish
+    validation residual) and keep the one with the lowest residual on a
+    FRESH off-grid batch. Returns (picked index, params, polish losses)."""
+    from differential_equations_dnn_tpu.train import finetune_lbfgs
+
+    order = np.argsort(np.where(np.isfinite(val_losses), val_losses, np.inf))
+    fresh = problem.validation_sample(jax.random.key(seed + 4), 4096)
+    select = jax.jit(lambda p: problem.loss(model.apply, p, fresh))
+    best = None
+    for i in order[: min(top_k, len(order))]:
+        p = jax.tree.map(lambda a: a[int(i)], stacked)
+        polished, fl = finetune_lbfgs(problem, p, jax.random.key(seed + 3),
+                                      steps=steps, batch_size=8192,
+                                      model=model)
+        r = float(select(polished))
+        if best is None or r < best[0]:
+            best = (r, int(i), polished, fl)
+    return best[1], best[2], best[3]
 
 
 def solve(equation: str | Problem, *, iterations: int | None = None,
           batch_size: int | None = None, lrate: float | None = None,
           nodes: int | None = None, seed: int = 0, model=None, mesh=None,
-          ensemble: int | None = None, finetune: int = 0,
+          ensemble: int | None = None, finetune: int | None = None,
           engine: str = "scan", verbose: bool = False,
           **problem_kwargs) -> SolveResult:
     """Train a network on ``equation`` and validate against its ground truth.
@@ -71,10 +92,12 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
 
     ``ensemble=N`` trains N independently-initialised replicas as ONE vmapped
     population (shardable over a 'pop' mesh axis) and returns the replica
-    with the lowest off-grid validation residual. ``ensemble=None`` (default)
-    picks a robust width automatically: 8 for the init-sensitive
-    FitzHugh–Nagumo DGM architecture, single-run otherwise. Pass
-    ``ensemble=0`` / ``ensemble=1`` to force a single run.
+    with the lowest off-grid validation residual. ``finetune=N`` polishes
+    with N full-batch L-BFGS steps. Both default to ``None`` = automatic:
+    the init-sensitive FitzHugh–Nagumo DGM architecture gets ensemble 16 +
+    finetune 200 with top-3 post-polish selection (beats the reference on
+    every seed tested: MAE 0.0024-0.0048 vs 0.0088); everything else runs
+    single-shot without polish. Pass ``0`` to force either off.
 
     Stateful models (BatchNorm MLPs) train on the same path; the trained
     running statistics ride ``SolveResult.state`` and evaluation uses
@@ -104,8 +127,12 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         verbose=verbose,
     )
     nodes = nodes if nodes is not None else d.nodes
-    if ensemble is None:
-        ensemble = _auto_ensemble(problem, model)
+    if ensemble is None or finetune is None:
+        robust = _needs_robust_defaults(problem, model)
+        if ensemble is None:
+            ensemble = 16 if robust else 0
+        if finetune is None:
+            finetune = 200 if robust else 0
     model = model or problem.default_model()
 
     if engine == "fused" and ensemble > 1:
@@ -142,11 +169,22 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             val_losses = jax.jit(jax.vmap(lambda p: trial_loss(p, None)))(stacked)
         else:
             val_losses = jax.jit(jax.vmap(trial_loss))(stacked, stacked_state)
-        pick = int(np.argmin(np.asarray(val_losses)))
-        params = jax.tree.map(lambda a: a[pick], stacked)
+        val_losses = np.asarray(val_losses)
+        pick = int(np.argmin(val_losses))
+        if finetune and stacked_state is None:
+            # Polish the top-3 candidates and select POST-polish: which
+            # replica polishes best depends on the polish batch, so deciding
+            # before polishing leaves accuracy on the table (measured on the
+            # FitzHugh-Nagumo DGM arch: pre-polish pick can end 1.6x worse).
+            pick, params, ft_losses = _polish_and_select(
+                problem, model, stacked, val_losses, seed, finetune)
+            loss_history = np.concatenate([losses[:, pick], ft_losses])
+            finetune = 0  # already applied
+        else:
+            params = jax.tree.map(lambda a: a[pick], stacked)
+            loss_history = losses[:, pick]
         if stacked_state is not None:
             state = jax.tree.map(lambda a: a[pick], stacked_state)
-        loss_history = losses[:, pick]
         # Steady-state throughput: compilation is timed separately inside
         # train_population (same split as the single-run path).
         wall_time = timings["run_time"]
@@ -179,8 +217,10 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     if finetune:
         from differential_equations_dnn_tpu.train import finetune_lbfgs
 
+        # key(seed+3): decorrelated from the ensemble-selection batch
+        # (key(seed+1)) so the polish set is not the selection set.
         params, ft_losses = finetune_lbfgs(
-            problem, params, jax.random.key(seed + 1), steps=finetune,
+            problem, params, jax.random.key(seed + 3), steps=finetune,
             model=model, apply_fn=train_apply(model, state))
         loss_history = np.concatenate([loss_history, ft_losses])
         if state is not None:

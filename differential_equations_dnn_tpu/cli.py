@@ -69,17 +69,20 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
     p.add_argument("--export", type=str, default=None, dest="export_path",
                    help="serialise the trained solution (StableHLO via "
                         "jax.export) to this file for serving")
-    p.add_argument("--finetune", type=int, default=0,
+    p.add_argument("--finetune", type=int, default=None,
                    help="polish with N full-batch L-BFGS steps after Adam "
-                        "(~2-3x lower MAE; try 200)")
+                        "(~2-3x lower MAE; try 200). Default: auto — 200 "
+                        "for the init-sensitive fitzhugh-nagumo DGM arch, "
+                        "off otherwise; pass 0 to force off")
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the collocation batch over N devices (0 = off)")
     p.add_argument("--ensemble", type=int, default=None,
                    help="train N replicas as one vmapped population and keep "
                         "the best by off-grid validation residual (default: "
-                        "auto — 8 for the init-sensitive fitzhugh-nagumo DGM "
-                        "arch, single run otherwise; pass 1 to force single)")
+                        "auto — 16 for the init-sensitive fitzhugh-nagumo "
+                        "DGM arch, single run otherwise; pass 1 to force "
+                        "single)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation")
@@ -280,17 +283,20 @@ def _cmd_equation(name, args):
         problem = problem_cls(taps=args.taps)
     else:
         problem = problem_cls()
+    # Robust defaults: the reference-parity FitzHugh-Nagumo DGM arch is
+    # init-sensitive (single-seed MAE 0.005-0.76, best-of-8 only 0.01-0.05
+    # on bad seeds); best-of-16 + top-3 L-BFGS post-polish selection beats
+    # the reference on every seed tested (MAE 0.0024-0.0048 vs 0.0088).
+    # Force off with --ensemble 1 / --finetune 0.
+    robust = name == "fitzhugh_nagumo" and getattr(args, "arch", "") == "dgm"
     if getattr(args, "ensemble", None) is None:
-        # Robust default: the reference-parity FitzHugh-Nagumo DGM arch is
-        # init-sensitive (single-seed MAE 0.005-0.76); best-of-8 with
-        # off-grid validation selection beats the reference on every seed.
-        # Force a single run with --ensemble 1.
-        args.ensemble = 8 if (name == "fitzhugh_nagumo"
-                              and args.arch == "dgm") else 0
+        args.ensemble = 16 if robust else 0
         if args.ensemble:
             print(f"[{name}] arch=dgm is init-sensitive: defaulting to "
                   f"--ensemble {args.ensemble} (pass --ensemble 1 to force "
                   f"a single run)")
+    if getattr(args, "finetune", None) is None:
+        args.finetune = 200 if robust else 0
     if args.solve:
         _solve(problem, args)
     if args.plot:

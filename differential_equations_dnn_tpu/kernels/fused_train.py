@@ -289,7 +289,7 @@ def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr,
 
 def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
                            x_max=math.pi, t_max=3.0, kappa=1.0,
-                           steps_per_cell: int = 50,
+                           steps_per_cell: int | None = None,
                            batch_tile: int | None = None):
     """Run ``K = uniforms.shape[0]`` Adam steps entirely inside one Pallas
     kernel. ``params``/``m``/``v`` are the flat tuples
@@ -298,7 +298,8 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
 
     ``steps_per_cell`` Adam steps execute per grid cell inside a fori_loop
     (must divide K); larger values amortise grid sequencing overhead at the
-    cost of a bigger uniforms block in VMEM (S·B·2 floats).
+    cost of a bigger uniforms block in VMEM (S·B·2 floats). Default: adaptive
+    to the batch size from measured VMEM ceilings (see train_heat_fused_result).
 
     ``batch_tile`` caps the live activation working set: batches larger than
     it are processed as gradient-accumulation tiles (default 256 — measured
@@ -310,6 +311,8 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
     K, B, _ = uniforms.shape
     L, H = model.num_layers, model.hidden_size
     D, O = model.input_dim, model.output_dim
+    if steps_per_cell is None:
+        steps_per_cell = 100 if B <= 64 else max(1, 3200 // B)
     S = math.gcd(steps_per_cell, K)
     if S > 128:
         # Lane-packed loss rows hold ≤128 steps per grid cell.
@@ -416,12 +419,10 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
 
-    if steps_per_cell is None:
-        # Empirical VMEM ceiling on v5 lite: larger products of (batch rows x
-        # steps-per-cell) exhaust the Mosaic scoped stack at compile time.
-        # Measured good points: (64, 100) 73.5k it/s; (256, 12) 25.9k;
-        # (512, 6, tile 128) 14.7k. (64, 250), (256, 20), (512, 12) OOM.
-        steps_per_cell = 100 if batch_size <= 64 else max(1, 3200 // batch_size)
+    # steps_per_cell=None → heat_fused_train_chunk picks the VMEM-safe
+    # default per batch size. Measured good points: (64, 100) 73.5k it/s;
+    # (256, 12) 25.9k; (512, 6, tile 128) 14.7k — while (64, 250), (256, 20)
+    # and (512, 12) exhaust the Mosaic scoped stack at compile time.
     model = model or problem.default_model()
     init_key, run_key = jax.random.split(key)
     if params is None:

@@ -9,9 +9,11 @@ constant ``running_elems=100`` instead of the feature dimension
 BN by the feature dimension, which is the only semantics that type-checks for
 arbitrary batch sizes.
 
-BatchNorm here is train-mode (batch statistics); running-stat tracking follows
-the same (params, state) convention as ``MLP`` but is kept simple since the
-reference never trains this net.
+Running-statistic tracking follows the same ``(params, state)`` stateful
+convention as ``MLP`` (``init_state()`` + ``apply(params, x, state=...,
+train=...)``), so ResNet trains on the standard trainer path and evaluates
+with eval-mode statistics. Calling ``apply(params, x)`` without state keeps
+the plain train-mode (batch statistics) forward.
 """
 
 from dataclasses import dataclass
@@ -24,12 +26,30 @@ from differential_equations_dnn_tpu.core.init import torch_linear_default
 from differential_equations_dnn_tpu.core.precision import dense
 
 _BN_EPS = 1e-5
+_BN_MOMENTUM = 0.1
 
 
 def _bn(x, gamma, beta):
     mean = jnp.mean(x, axis=0)
     var = jnp.var(x, axis=0)
     return ((x - mean) * lax.rsqrt(var + _BN_EPS)) * gamma + beta
+
+
+def _bn_stateful(x, gamma, beta, stats, train):
+    """BatchNorm with running-stat tracking (torch semantics: biased batch
+    var normalises, unbiased updates the running var)."""
+    if not train:
+        xhat = (x - stats["mean"]) * lax.rsqrt(stats["var"] + _BN_EPS)
+        return xhat * gamma + beta, stats
+    mean = jnp.mean(x, axis=0)
+    var = jnp.var(x, axis=0)
+    n = x.shape[0]
+    unbiased = var * n / max(n - 1, 1)
+    new = {
+        "mean": (1 - _BN_MOMENTUM) * stats["mean"] + _BN_MOMENTUM * mean,
+        "var": (1 - _BN_MOMENTUM) * stats["var"] + _BN_MOMENTUM * unbiased,
+    }
+    return ((x - mean) * lax.rsqrt(var + _BN_EPS)) * gamma + beta, new
 
 
 @dataclass(frozen=True)
@@ -62,13 +82,29 @@ class ResidualBlock:
             }
         return p
 
-    def apply(self, params, x):
-        out = jax.nn.relu(_bn(dense(x, params["fc1"]["w"]),
-                              params["fc1"]["gamma"], params["fc1"]["beta"]))
-        out = jax.nn.relu(_bn(dense(out, params["fc2"]["w"]),
-                              params["fc2"]["gamma"], params["fc2"]["beta"]))
+    def init_state(self):
+        z = jnp.zeros((self.output_dim,), self.dtype)
+        o = jnp.ones((self.output_dim,), self.dtype)
+        return {"fc1": {"mean": z, "var": o}, "fc2": {"mean": z, "var": o}}
+
+    def apply(self, params, x, state=None, train=True):
+        if state is None:
+            out = jax.nn.relu(_bn(dense(x, params["fc1"]["w"]),
+                                  params["fc1"]["gamma"], params["fc1"]["beta"]))
+            out = jax.nn.relu(_bn(dense(out, params["fc2"]["w"]),
+                                  params["fc2"]["gamma"], params["fc2"]["beta"]))
+            residual = dense(x, params["down"]["w"]) if self.downsample else x
+            return jax.nn.relu(out + residual)
+        h1, s1 = _bn_stateful(dense(x, params["fc1"]["w"]),
+                              params["fc1"]["gamma"], params["fc1"]["beta"],
+                              state["fc1"], train)
+        out = jax.nn.relu(h1)
+        h2, s2 = _bn_stateful(dense(out, params["fc2"]["w"]),
+                              params["fc2"]["gamma"], params["fc2"]["beta"],
+                              state["fc2"], train)
+        out = jax.nn.relu(h2)
         residual = dense(x, params["down"]["w"]) if self.downsample else x
-        return jax.nn.relu(out + residual)
+        return jax.nn.relu(out + residual), {"fc1": s1, "fc2": s2}
 
     __call__ = apply
 
@@ -106,12 +142,28 @@ class ResNet:
             "fc_out": {"w": wout, "b": bout},
         }
 
-    def apply(self, params, x):
+    def init_state(self):
+        stage1 = self._stage_blocks(self.input_dim)
+        stage2 = self._stage_blocks(self.hidden_size)
+        return {"stage1": [b.init_state() for b in stage1],
+                "stage2": [b.init_state() for b in stage2]}
+
+    def apply(self, params, x, state=None, train=True):
         out = x
-        for block, p in zip(self._stage_blocks(self.input_dim), params["stage1"]):
-            out = block.apply(p, out)
-        for block, p in zip(self._stage_blocks(self.hidden_size), params["stage2"]):
-            out = block.apply(p, out)
-        return dense(out, params["fc_out"]["w"], params["fc_out"]["b"])
+        if state is None:
+            for block, p in zip(self._stage_blocks(self.input_dim), params["stage1"]):
+                out = block.apply(p, out)
+            for block, p in zip(self._stage_blocks(self.hidden_size), params["stage2"]):
+                out = block.apply(p, out)
+            return dense(out, params["fc_out"]["w"], params["fc_out"]["b"])
+        new_state = {"stage1": [], "stage2": []}
+        for name, in_dim in (("stage1", self.input_dim),
+                             ("stage2", self.hidden_size)):
+            for block, p, s in zip(self._stage_blocks(in_dim), params[name],
+                                   state[name]):
+                out, ns = block.apply(p, out, state=s, train=train)
+                new_state[name].append(ns)
+        y = dense(out, params["fc_out"]["w"], params["fc_out"]["b"])
+        return y, new_state
 
     __call__ = apply

@@ -221,3 +221,15 @@ def test_heat2d_cli(tmp_path):
     main(["heat2d", "--solve", "--plot", "--niters", "40", "--batch-size", "32",
           "--nnodes", "6", "--results-dir", rd])
     assert np.load(Path(rd) / "heat_sol_2d_dgm.npy").shape == (6, 6, 6)
+
+
+def test_export_inverse_heat(tmp_path):
+    """--export on inverse_heat works (round-1 ADVICE: _InverseModel lacked
+    the input_dim attribute the export path reads)."""
+    rd = str(tmp_path / "temp_results")
+    ex = str(tmp_path / "inv.stablehlo")
+    main(["inverse-heat", "--solve", "--niters", "40", "--batch-size", "8",
+          "--nnodes", "5", "--export", ex, "--results-dir", rd])
+    from differential_equations_dnn_tpu.serving import load_solution
+    fn = load_solution(ex)
+    assert fn(np.zeros((2, 2), np.float32)).shape == (2, 1)

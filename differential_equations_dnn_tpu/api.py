@@ -43,17 +43,29 @@ class SolveResult:
                 f"{self.iters_per_sec:.0f} iters/s)")
 
 
-def _needs_robust_defaults(problem, model) -> bool:
-    """The reference-parity FitzHugh–Nagumo DGM architecture is highly
-    init-sensitive: single-seed MAE lands anywhere in [0.005, 0.76] at the
-    reference budget, and even the best of 8 replicas (off-grid validation
-    selection picks the true-best — verified) only reaches MAE 0.01-0.05 on
-    bad seeds. Best-of-16 with top-3 post-polish selection (200 L-BFGS steps
-    each) beats the reference's published 0.0088 on EVERY seed tested:
-    MAE 0.0024-0.0048 over seeds 0-4 (round-2 TPU measurement). Everything
-    else trains reliably from one seed."""
-    return (model is None and problem.name == "fitzhugh_nagumo"
-            and getattr(problem, "arch", None) == "dgm")
+def _auto_defaults(problem, model) -> tuple[int, int]:
+    """(ensemble, finetune) used when the caller leaves them ``None``.
+
+    * FitzHugh–Nagumo DGM arch: highly init-sensitive — single-seed MAE
+      lands anywhere in [0.005, 0.76] at the reference budget, and even the
+      best of 8 replicas (off-grid validation selection picks the true-best
+      — verified) only reaches MAE 0.01-0.05 on bad seeds. Best-of-16 with
+      top-3 post-polish selection (200 L-BFGS steps each) beats the
+      reference's published 0.0088 on EVERY seed tested: MAE 0.0024-0.0048
+      over seeds 0-4 (round-2 TPU measurement).
+    * Fredholm: the 3k-iteration Adam budget, not the quadrature, limits
+      accuracy — the Gauss default still straddles the reference's 0.0134
+      seed-to-seed (0.006-0.026 over seeds 0-4). The 200-step L-BFGS polish
+      closes it on every seed.
+    * Everything else trains reliably from one seed, unpolished."""
+    if model is not None:
+        return 0, 0
+    if (problem.name == "fitzhugh_nagumo"
+            and getattr(problem, "arch", None) == "dgm"):
+        return 16, 200
+    if problem.name == "fredholm":
+        return 0, 200
+    return 0, 0
 
 
 def _polish_and_select(problem, model, stacked, val_losses, seed, steps,
@@ -128,11 +140,11 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     )
     nodes = nodes if nodes is not None else d.nodes
     if ensemble is None or finetune is None:
-        robust = _needs_robust_defaults(problem, model)
+        auto_ens, auto_ft = _auto_defaults(problem, model)
         if ensemble is None:
-            ensemble = 16 if robust else 0
+            ensemble = auto_ens
         if finetune is None:
-            finetune = 200 if robust else 0
+            finetune = auto_ft
     model = model or problem.default_model()
 
     if engine == "fused" and ensemble > 1:

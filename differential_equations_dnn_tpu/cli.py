@@ -101,9 +101,9 @@ def _solve(problem, args):
         mesh = make_mesh({"data": args.mesh})
     model = problem.default_model()
     fused = getattr(args, "engine", "scan") == "fused"
-    if fused and (args.restore or args.checkpoint or args.mesh):
-        raise SystemExit("--engine fused does not support --restore/"
-                         "--checkpoint/--mesh (use the default scan engine)")
+    if fused and args.mesh:
+        raise SystemExit("--engine fused is single-chip (use the default "
+                         "scan engine with --mesh)")
     params = opt_state = state = None
     start_step = 0
     if args.restore:
@@ -114,7 +114,8 @@ def _solve(problem, args):
 
         # ``like`` makes orbax restore with the training dtypes/shardings
         # instead of falling back to host numpy.
-        like = checkpoint_like(problem, config, model=model, seed=args.seed)
+        like = checkpoint_like(problem, config, model=model, seed=args.seed,
+                               engine="fused" if fused else "scan")
         ckpt = restore_checkpoint(args.restore, like=like)
         params, opt_state = ckpt["params"], ckpt["opt_state"]
         state = ckpt.get("state")
@@ -133,7 +134,8 @@ def _solve(problem, args):
 
         result = train_heat_fused_result(
             problem, jax.random.key(args.seed), args.niters,
-            batch_size=args.batch_size, lrate=args.lrate, model=model)
+            batch_size=args.batch_size, lrate=args.lrate, model=model,
+            params=params, opt_state=opt_state, start_step=start_step)
     else:
         result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
                        model=model, params=params, opt_state=opt_state,
@@ -283,20 +285,22 @@ def _cmd_equation(name, args):
         problem = problem_cls(taps=args.taps)
     else:
         problem = problem_cls()
-    # Robust defaults: the reference-parity FitzHugh-Nagumo DGM arch is
-    # init-sensitive (single-seed MAE 0.005-0.76, best-of-8 only 0.01-0.05
-    # on bad seeds); best-of-16 + top-3 L-BFGS post-polish selection beats
-    # the reference on every seed tested (MAE 0.0024-0.0048 vs 0.0088).
-    # Force off with --ensemble 1 / --finetune 0.
-    robust = name == "fitzhugh_nagumo" and getattr(args, "arch", "") == "dgm"
+    # Robust defaults (mirrors api._auto_defaults): the FitzHugh-Nagumo DGM
+    # arch gets ensemble 16 + top-3 L-BFGS post-polish selection (beats the
+    # reference on every seed: MAE 0.0024-0.0048 vs 0.0088); fredholm gets
+    # the 200-step polish (its 3k Adam budget straddles the reference MAE
+    # seed-to-seed otherwise). Force off with --ensemble 1 / --finetune 0.
+    from differential_equations_dnn_tpu.api import _auto_defaults
+
+    auto_ens, auto_ft = _auto_defaults(problem, None)
     if getattr(args, "ensemble", None) is None:
-        args.ensemble = 16 if robust else 0
+        args.ensemble = auto_ens
         if args.ensemble:
             print(f"[{name}] arch=dgm is init-sensitive: defaulting to "
                   f"--ensemble {args.ensemble} (pass --ensemble 1 to force "
                   f"a single run)")
     if getattr(args, "finetune", None) is None:
-        args.finetune = 200 if robust else 0
+        args.finetune = auto_ft
     if args.solve:
         _solve(problem, args)
     if args.plot:

@@ -408,13 +408,19 @@ def train_heat_fused(problem, key, iterations, batch_size=64, lrate=1e-4,
 
 def train_heat_fused_result(problem, key, iterations, batch_size=64,
                             lrate=1e-4, chunk_size=25_000, model=None,
-                            params=None, steps_per_cell: int | None = None):
+                            params=None, opt_state=None, start_step: int = 0,
+                            steps_per_cell: int | None = None):
     """Like :func:`train_heat_fused` but returns a full
     ``train.trainer.TrainResult`` (compile time measured separately,
     steady-state iters/sec) so the ``solve(engine="fused")`` / CLI
     ``--engine fused`` path reports the same fields as the scan trainer.
 
-    ``opt_state`` holds the kernel's flat ``(m, v)`` Adam moments."""
+    ``opt_state`` holds the Adam moments as ``{"m": pytree, "v": pytree}``
+    (model-pytree shaped — checkpointable with the params). Resuming with
+    ``params`` + ``opt_state`` + ``start_step`` continues BIT-identically to
+    an uninterrupted run: the bias correction uses the absolute step and
+    each step's collocation draw is keyed by its absolute index (so the
+    chunk layout cannot change the stream)."""
     import time
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
@@ -428,8 +434,12 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     if params is None:
         params = model.init(init_key)
     flat = pack_params(model, params)
-    m = tuple(jnp.zeros_like(p) for p in flat)
-    v = tuple(jnp.zeros_like(p) for p in flat)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_params(model, opt_state["m"])
+        v = pack_params(model, opt_state["v"])
 
     run = jax.jit(functools.partial(
         heat_fused_train_chunk, model,
@@ -437,11 +447,19 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
         lrate=lrate, steps_per_cell=steps_per_cell,
     ))
 
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        # Per-step keyed collocation draws: step i always sees the same
+        # uniforms regardless of how the run is chunked or resumed.
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, 2))
+        )(start + jnp.arange(n))
+
     chunk = max(1, min(chunk_size, iterations))
-    u0 = jax.random.uniform(jax.random.fold_in(run_key, 0),
-                            (chunk, batch_size, 2))
     t0 = time.perf_counter()
-    compiled = run.lower(flat, m, v, u0, 0).compile()
+    u0 = draw(start_step, chunk)
+    compiled = run.lower(flat, m, v, u0, start_step).compile()
     compile_time = time.perf_counter() - t0
 
     losses_out = []
@@ -449,17 +467,16 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     t0 = time.perf_counter()
     while done < iterations:
         k = min(chunk, iterations - done)
-        u = jax.random.uniform(jax.random.fold_in(run_key, done),
-                               (k, batch_size, 2))
+        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
         step_fn = compiled if k == chunk else run
-        flat, m, v, losses = step_fn(flat, m, v, u, done)
+        flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
         done += k
     jax.block_until_ready(flat)
     wall = time.perf_counter() - t0
     return TrainResult(
         params=unpack_params(model, flat),
-        opt_state=(m, v),
+        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
         loss_history=np.concatenate(losses_out),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),

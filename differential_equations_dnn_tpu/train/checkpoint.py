@@ -15,19 +15,25 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def checkpoint_like(problem, config, model=None, seed: int = 0):
+def checkpoint_like(problem, config, model=None, seed: int = 0,
+                    engine: str = "scan"):
     """Abstract skeleton of a full training checkpoint — pass as ``like`` to
     ``restore_checkpoint`` for dtype/sharding-correct restore.
 
     Matches the tree the CLI saves: params + opt_state (+ model state for
     BatchNorm nets) + step + seed. Everything is built with ``jax.eval_shape``
-    so no device memory is touched."""
+    so no device memory is touched. ``engine="fused"`` matches the fused
+    Pallas trainer's opt_state layout ({"m": params, "v": params}) instead
+    of optax's."""
     from differential_equations_dnn_tpu.models.stateful import init_model_state
     from differential_equations_dnn_tpu.train.trainer import _make_optimizer
 
     model = model or problem.default_model()
     params = jax.eval_shape(model.init, jax.random.key(seed))
-    opt_state = jax.eval_shape(_make_optimizer(config).init, params)
+    if engine == "fused":
+        opt_state = {"m": params, "v": params}
+    else:
+        opt_state = jax.eval_shape(_make_optimizer(config).init, params)
     like = {
         "params": params,
         "opt_state": opt_state,

@@ -313,6 +313,7 @@ def _cmd_sweep(args):
     from differential_equations_dnn_tpu.sweep import (
         random_search,
         successive_halving,
+        tpe_halving,
         tpe_search,
     )
 
@@ -333,6 +334,12 @@ def _cmd_sweep(args):
         result = tpe_search(
             problem, key, num_samples=args.num_samples,
             max_iters=args.max_iters, max_batch_size=args.max_batch_size,
+            mesh=mesh, seed=args.seed,
+        )
+    elif args.scheduler == "tpe-asha":
+        result = tpe_halving(
+            problem, key, num_samples=args.num_samples,
+            max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             mesh=mesh, seed=args.seed,
         )
     else:
@@ -437,11 +444,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=512)
-    p.add_argument("--scheduler", choices=["random", "asha", "tpe"],
+    p.add_argument("--scheduler",
+                   choices=["random", "asha", "tpe", "tpe-asha"],
                    default="random",
                    help="random = pure sampling; asha = successive halving; "
                         "tpe = adaptive model-based (the reference's "
-                        "OptunaSearch role, optimize_heat_ray.py:179)")
+                        "OptunaSearch role, optimize_heat_ray.py:179); "
+                        "tpe-asha = both composed (the reference's full "
+                        "scheduler pairing)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
     p.add_argument("--results-dir", type=str, default="temp_results")

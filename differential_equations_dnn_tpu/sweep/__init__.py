@@ -17,6 +17,7 @@ from differential_equations_dnn_tpu.sweep.search import (
     choice,
     random_search,
     successive_halving,
+    tpe_halving,
     tpe_search,
     SweepResult,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "choice",
     "random_search",
     "successive_halving",
+    "tpe_halving",
     "tpe_search",
     "TPESampler",
     "SweepResult",

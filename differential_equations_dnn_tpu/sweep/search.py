@@ -182,16 +182,21 @@ def random_search(problem, key, num_samples: int = 10, space: SearchSpace | None
 def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace | None = None,
                        model=None, seed: int = 0, mesh=None, eta: int = 3,
                        min_budget: int = 500, max_budget: int | None = None,
-                       max_batch_size: int = 512, chunk_size: int = 500) -> SweepResult:
+                       max_batch_size: int = 512, chunk_size: int = 500,
+                       draws: dict | None = None) -> SweepResult:
     """Synchronous successive halving: train the whole population for the
     rung budget, keep the best 1/eta, continue the survivors (with their
     optimizer state) at eta× the budget. Replaces ASHA
     (optimize_heat_ray.py:181) without any worker processes — the reference's
-    scheduler was inert anyway since trials reported once (SURVEY §3.5)."""
+    scheduler was inert anyway since trials reported once (SURVEY §3.5).
+
+    ``draws`` (dict of [num_samples] config arrays) overrides the random
+    draws — how ``tpe_halving`` injects model-proposed configs."""
     space = space or heat_search_space()
     model = model or problem.default_model()
     max_batch_size = _clamp_batch_cap(problem, max_batch_size)
-    draws = space.sample(seed, num_samples)
+    if draws is None:
+        draws = space.sample(seed, num_samples)
 
     lrates = jnp.asarray(draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
                          dtype=jnp.float32)
@@ -324,6 +329,68 @@ def tpe_search(problem, key, num_samples: int = 10, space: SearchSpace | None = 
         all_scores.extend(float(s) for s in scores)
         n_done += per_round
         r += 1
+
+    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
+                       losses=None, params=best_params,
+                       param_indices=np.array([best_flat_idx]))
+
+
+# ---- TPE × successive halving (the reference's full scheduler pairing) ------
+
+def tpe_halving(problem, key, num_samples: int = 27, space: SearchSpace | None = None,
+                model=None, seed: int = 0, mesh=None, eta: int = 3,
+                min_budget: int = 500, max_budget: int | None = None,
+                max_batch_size: int = 512, chunk_size: int = 500,
+                brackets: int = 3, gamma: float = 0.1) -> SweepResult:
+    """The full Ray-Tune pairing: OptunaSearch (TPE) proposing configs AND
+    AsyncHyperBandScheduler (halving) pruning them
+    (optimize_heat_ray.py:179-181) — BOHB-style.
+
+    ``brackets`` sequential halving brackets run on device; each bracket's
+    population is proposed by the TPE sampler informed by every previous
+    bracket's (config, score) observations (the first bracket is the random
+    bootstrap). Within a bracket the rung schedule owns budget allocation,
+    exactly like ``successive_halving``."""
+    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
+
+    space = space or heat_search_space()
+    model = model or problem.default_model()
+    max_batch_size = _clamp_batch_cap(problem, max_batch_size)
+
+    brackets = max(1, min(brackets, num_samples))
+    per_bracket = -(-num_samples // brackets)
+    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
+                         n_initial=per_bracket)
+
+    all_configs: list[dict] = []
+    all_scores: list[float] = []
+    best_params = None
+    best_flat_idx = -1
+    best_score = np.inf
+    for b in range(brackets):
+        proposals = sampler.ask(per_bracket)
+        draws = {name: np.asarray([c[name] for c in proposals])
+                 for name in space.specs}
+        res = successive_halving(
+            problem, jax.random.fold_in(key, b), num_samples=per_bracket,
+            space=space, model=model, seed=seed + b, mesh=mesh, eta=eta,
+            min_budget=min_budget, max_budget=max_budget,
+            max_batch_size=max_batch_size, chunk_size=chunk_size,
+            draws=draws,
+        )
+        # Tell the sampler the realised (config, score) pairs — dropped
+        # trials report their last rung score at their realised budget.
+        sampler.tell(res.configs, res.scores)
+        finite = np.where(np.isfinite(res.scores), res.scores, np.inf)
+        eligible = np.full_like(finite, np.inf)
+        eligible[res.param_indices] = finite[res.param_indices]
+        b_best = int(np.argmin(eligible))
+        if eligible[b_best] < best_score:
+            best_score = float(eligible[b_best])
+            best_flat_idx = len(all_configs) + b_best
+            best_params = res.best_params()
+        all_configs.extend(res.configs)
+        all_scores.extend(float(s) for s in res.scores)
 
     return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
                        losses=None, params=best_params,

@@ -155,3 +155,23 @@ def test_batchnorm_effect_tiny(key):
     assert res.labels == ["none", "pre", "post"]
     assert res.mean_losses.shape == (3, 40)
     assert np.isfinite(res.mean_losses).all()
+
+
+def test_tpe_halving_composed(key):
+    """TPE x successive halving (the reference's OptunaSearch + ASHA
+    pairing): brackets of model-proposed configs, rung-pruned."""
+    from differential_equations_dnn_tpu.sweep import tpe_halving
+
+    prob = SimpleODE()
+    space = SearchSpace({"lrate": loguniform(1e-5, 1e-2),
+                         "batch_size": randint(8, 32)})
+    result = tpe_halving(prob, key, num_samples=8, space=space, brackets=2,
+                         eta=2, min_budget=40, max_budget=160,
+                         max_batch_size=32, chunk_size=80)
+    assert len(result.configs) >= 8
+    assert np.isfinite(result.best_score)
+    budgets = {c["n_iters"] for c in result.configs}
+    assert len(budgets) > 1              # pruning really happened
+    best = result.best_params()
+    single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))

@@ -33,6 +33,7 @@ def main(full: bool = False):
         # The 1->3->1 perceptron needs its full 100k budget at the reference
         # lr 1e-4; the reduced run uses lr 1e-3 (MAE 0.0009 at 20k).
         ("uat", {}, dict(iterations=20_000, lrate=1e-3), 0.05),
+        ("wave", {}, dict(iterations=5000), 0.05),
         ("inverse_heat", {}, dict(iterations=3000), 0.05),
     ]
 

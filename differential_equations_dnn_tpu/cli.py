@@ -50,6 +50,8 @@ ARTIFACTS = {
     "fitzhugh_nagumo": ("new_fn_solution_dgm", "new_fn_loss_dgm",
                         "new_fn_solution_exact", "figs/fitzhugh_nagumo_solution.pdf"),
     "uat": ("approximation", "uat_loss", "ground_truth", "figs/universal_approx.pdf"),
+    "wave": ("wave_sol_dgm", "wave_sol_dgm_loss",
+             "wave_sol_exact", "figs/wave_solution.pdf"),
 }
 
 
@@ -243,7 +245,7 @@ def _plot(problem, args):
         ) from e
     savepath = fig_name if args.savefig else None
 
-    if problem.name in ("heat", "inverse_heat"):
+    if problem.name in ("heat", "inverse_heat", "wave"):
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
     elif problem.name == "burgers":

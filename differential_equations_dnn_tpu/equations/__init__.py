@@ -15,6 +15,7 @@ from differential_equations_dnn_tpu.equations.inverse_heat import InverseHeat1D
 from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
 from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
 from differential_equations_dnn_tpu.equations.uat import SineFit
+from differential_equations_dnn_tpu.equations.wave import Wave1D
 
 PROBLEMS = {
     "simple_ode": SimpleODE,
@@ -25,6 +26,7 @@ PROBLEMS = {
     "fredholm": Fredholm2,
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
+    "wave": Wave1D,
 }
 
 __all__ = [
@@ -38,5 +40,6 @@ __all__ = [
     "Fredholm2",
     "FitzHughNagumo",
     "SineFit",
+    "Wave1D",
     "PROBLEMS",
 ]

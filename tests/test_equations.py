@@ -216,3 +216,45 @@ def test_inverse_heat_identifies_kappa(key):
     # point_loss is deliberately unsupported
     with pytest.raises(NotImplementedError):
         prob.point_loss(model.apply, res.params, batch)
+
+
+def test_wave_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Wave1D
+
+    prob = Wave1D()
+    exact = _exact_apply(
+        lambda z: jnp.sin(z[..., :1]) * jnp.cos(z[..., 1:2])
+    )
+    batch = prob.sample(key, 64)
+    assert float(prob.loss(exact, None, batch)) < 1e-9
+    # A travelling wave satisfies the PDE and the boundary-ish terms but NOT
+    # the velocity IC — the term that makes hyperbolic problems distinct.
+    travelling = _exact_apply(
+        lambda z: jnp.sin(z[..., :1] - z[..., 1:2])
+    )
+    assert float(prob.loss(travelling, None, batch)) > 0.1
+
+
+def test_wave_short_training_decreases_loss(key):
+    from differential_equations_dnn_tpu.equations import Wave1D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = Wave1D()
+    result = train(prob, key, TrainConfig(iterations=150, batch_size=32,
+                                          lrate=1e-3, schedule="cosine",
+                                          verbose=False))
+    h = result.loss_history
+    assert h[-30:].mean() < h[:30].mean()
+    assert np.isfinite(prob.mae(prob.default_model().apply, result.params,
+                                nodes=8))
+
+
+def test_wave_exact_shape_and_ic():
+    from differential_equations_dnn_tpu.equations import Wave1D
+
+    prob = Wave1D()
+    u = prob.exact(12)
+    assert u.shape == (12, 12)
+    np.testing.assert_allclose(u[0], np.sin(np.linspace(0, math.pi, 12)),
+                               atol=1e-12)
+    np.testing.assert_allclose(u[:, 0], 0.0, atol=1e-12)

@@ -34,6 +34,8 @@ def main(full: bool = False):
         # lr 1e-4; the reduced run uses lr 1e-3 (MAE 0.0009 at 20k).
         ("uat", {}, dict(iterations=20_000, lrate=1e-3), 0.05),
         ("wave", {}, dict(iterations=5000), 0.05),
+        ("poisson", {}, dict(iterations=5000), 0.05),
+        ("volterra", {}, dict(iterations=2000), 0.05),
         ("inverse_heat", {}, dict(iterations=3000), 0.05),
     ]
 

@@ -52,6 +52,10 @@ ARTIFACTS = {
     "uat": ("approximation", "uat_loss", "ground_truth", "figs/universal_approx.pdf"),
     "wave": ("wave_sol_dgm", "wave_sol_dgm_loss",
              "wave_sol_exact", "figs/wave_solution.pdf"),
+    "poisson": ("poisson_sol_dgm", "poisson_sol_dgm_loss",
+                "poisson_sol_exact", "figs/poisson_solution.pdf"),
+    "volterra": ("volterra_approx", "volterra_loss",
+                 "volterra_exact", "figs/volterra_solution.pdf"),
 }
 
 
@@ -245,7 +249,7 @@ def _plot(problem, args):
         ) from e
     savepath = fig_name if args.savefig else None
 
-    if problem.name in ("heat", "inverse_heat", "wave"):
+    if problem.name in ("heat", "inverse_heat", "wave", "poisson"):
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
     elif problem.name == "burgers":
@@ -280,6 +284,8 @@ def _cmd_equation(name, args):
             # straddling the reference's 0.0134); the default Gauss-Legendre
             # quadrature beats it on every seed.
             args.quadrature, args.quad_nodes = "montecarlo", 50
+        problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
+    elif name == "volterra":
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
         problem = problem_cls(arch=args.arch)
@@ -432,6 +438,13 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "heat2d":
             p.add_argument("--taps", choices=["jvp", "taylor"],
                            default="taylor")
+        if name == "volterra":
+            p.add_argument("--quadrature", choices=["gauss", "montecarlo"],
+                           default="gauss",
+                           help="variable-limit quadrature: gauss = rescaled "
+                                "Gauss-Legendre (deterministic), montecarlo "
+                                "= fresh t ~ x*U per step")
+            p.add_argument("--quad-nodes", type=int, default=50)
         if name == "fitzhugh_nagumo":
             p.add_argument("--arch", choices=["dgm", "fourier_mlp"],
                            default="dgm",

@@ -16,6 +16,8 @@ from differential_equations_dnn_tpu.equations.fredholm import Fredholm2
 from differential_equations_dnn_tpu.equations.fitzhugh_nagumo import FitzHughNagumo
 from differential_equations_dnn_tpu.equations.uat import SineFit
 from differential_equations_dnn_tpu.equations.wave import Wave1D
+from differential_equations_dnn_tpu.equations.poisson import Poisson2D
+from differential_equations_dnn_tpu.equations.volterra import Volterra2
 
 PROBLEMS = {
     "simple_ode": SimpleODE,
@@ -24,9 +26,11 @@ PROBLEMS = {
     "burgers": Burgers,
     "inverse_heat": InverseHeat1D,
     "fredholm": Fredholm2,
+    "volterra": Volterra2,
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
     "wave": Wave1D,
+    "poisson": Poisson2D,
 }
 
 __all__ = [
@@ -41,5 +45,7 @@ __all__ = [
     "FitzHughNagumo",
     "SineFit",
     "Wave1D",
+    "Poisson2D",
+    "Volterra2",
     "PROBLEMS",
 ]

@@ -27,7 +27,7 @@ def test_solve_with_problem_instance():
 
 def test_solve_unknown_equation():
     with pytest.raises(ValueError, match="unknown equation"):
-        solve("wave")
+        solve("navier_stokes_3d")
 
 
 def test_solve_passes_problem_kwargs():

@@ -250,3 +250,18 @@ def test_fused_engine_restore_bit_identical(tmp_path):
     sol_a = np.load(Path(rd_a) / "heat_sol_1d_dgm.npy")
     sol_b = np.load(Path(rd_b) / "heat_sol_1d_dgm.npy")
     np.testing.assert_array_equal(sol_a, sol_b)
+
+
+def test_poisson_cli(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    main(["poisson", "--solve", "--plot", "--niters", "40", "--batch-size",
+          "32", "--nnodes", "6", "--results-dir", rd])
+    assert np.load(Path(rd) / "poisson_sol_dgm.npy").shape == (6, 6)
+
+
+def test_volterra_cli_quadrature_flag(tmp_path):
+    rd = str(tmp_path / "temp_results")
+    main(["volterra", "--solve", "--plot", "--niters", "40", "--batch-size",
+          "16", "--nnodes", "8", "--quadrature", "montecarlo",
+          "--quad-nodes", "12", "--results-dir", rd])
+    assert np.load(Path(rd) / "volterra_approx.npy").shape == (8,)

@@ -258,3 +258,82 @@ def test_wave_exact_shape_and_ic():
     np.testing.assert_allclose(u[0], np.sin(np.linspace(0, math.pi, 12)),
                                atol=1e-12)
     np.testing.assert_allclose(u[:, 0], 0.0, atol=1e-12)
+
+
+def test_poisson_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Poisson2D
+
+    prob = Poisson2D()
+    exact = _exact_apply(
+        lambda z: jnp.sin(z[..., :1]) * jnp.sin(z[..., 1:2])
+    )
+    batch = prob.sample(key, 64)
+    assert float(prob.loss(exact, None, batch)) < 1e-9
+    # A harmonic function (Δu = 0) misses the source term and the boundary.
+    harmonic = _exact_apply(lambda z: z[..., :1] * z[..., 1:2])
+    assert float(prob.loss(harmonic, None, batch)) > 0.1
+
+
+def test_poisson_short_training_decreases_loss(key):
+    from differential_equations_dnn_tpu.equations import Poisson2D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = Poisson2D()
+    result = train(prob, key, TrainConfig(iterations=150, batch_size=64,
+                                          lrate=1e-3, schedule="cosine",
+                                          verbose=False))
+    h = result.loss_history
+    assert h[-30:].mean() < h[:30].mean()
+    assert np.isfinite(prob.mae(prob.default_model().apply, result.params,
+                                nodes=8))
+
+
+def test_poisson_exact_boundary():
+    from differential_equations_dnn_tpu.equations import Poisson2D
+
+    u = Poisson2D().exact(12)
+    assert u.shape == (12, 12)
+    np.testing.assert_allclose(u[0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(u[:, -1], 0.0, atol=1e-12)
+
+
+def test_volterra_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Volterra2
+
+    prob = Volterra2()
+    exact = _exact_apply(lambda t: jnp.sin(t))
+    batch = prob.sample(key, 64)
+    # Gauss-Legendre with k=50 integrates (t-x)·sin t essentially exactly.
+    assert float(prob.loss(exact, None, batch)) < 1e-8
+    wrong = _exact_apply(lambda t: jnp.cos(t))
+    assert float(prob.loss(wrong, None, batch)) > 0.1
+
+
+def test_volterra_quadrature_rescaling(key):
+    """The rescaled Gauss rule must reproduce ∫₀ˣ (t−x)·sin t dt
+    = sin x − x exactly (that identity is WHY y=sin x solves the IE)."""
+    from differential_equations_dnn_tpu.equations import Volterra2
+
+    prob = Volterra2(k=20)
+    batch = prob.sample(key, 16)
+    x, tq, wq = batch["x"], batch["tq"], batch["wq"]
+    integral = np.sum(np.asarray((tq - x) * jnp.sin(tq) * wq), axis=1)
+    np.testing.assert_allclose(integral, np.asarray(jnp.sin(x) - x)[:, 0],
+                               atol=1e-6)
+
+
+def test_volterra_montecarlo_mode(key):
+    from differential_equations_dnn_tpu.equations import Volterra2
+
+    prob = Volterra2(quadrature="montecarlo", k=4000)
+    exact = _exact_apply(lambda t: jnp.sin(t))
+    batch = prob.sample(key, 32)
+    # MC quadrature: loss at the exact solution is small but nonzero.
+    assert float(prob.loss(exact, None, batch)) < 1e-2
+
+
+def test_volterra_short_training_converges(key):
+    from differential_equations_dnn_tpu.api import solve
+
+    res = solve("volterra", iterations=400, batch_size=64, nodes=20)
+    assert res.mae < 0.2

@@ -9,13 +9,16 @@ the reference heat configuration — MLP 2→128×3→1, batch 64, lr 1e-4
 to prove the speed is of a *converging* configuration.
 
 Headline path (round 2): the fully-fused Pallas training kernel
-(kernels/fused_train.py) — the ENTIRE Adam loop runs inside one Mosaic
-program at exact-fp32 MXU precision. Measured 82.2k iters/s with MAE 0.0007
-at the reference budget vs 28.6k iters/s for the XLA-scan trainer on the
-same chip/day. The scan trainer's number is reported in extras for
-comparison, along with an MXU calibration matmul (device-health anchor: the
-axon chip's throughput varies ~2x day-to-day; the calibration pins what the
-silicon did during THIS measurement) and a FLOP-level utilisation estimate.
+(kernels/fused_train.py) with the ``precision="mixed"`` schedule — the
+ENTIRE Adam loop runs inside one Mosaic dispatch, the first 65% of steps on
+the bf16 MXU path (fp32 accumulate) and the final 35% at exact fp32, which
+recovers full-fp32 accuracy at near-bf16 throughput. Measured 91-95k iters/s
+with MAE 0.0003 at the reference budget vs 63-66k (exact-fp32 kernel) and
+28.6k (XLA-scan trainer) on the same chip/day. Both comparison numbers are
+reported in extras, along with an MXU calibration matmul (device-health
+anchor: the axon chip's throughput varies ~2x day-to-day; the calibration
+pins what the silicon did during THIS measurement) and a FLOP-level
+utilisation estimate.
 
 Baseline: the reference implementation (torch, heat.py:minimize_loss_dgm)
 measured on this image's CPU at the same config: 203.0 iters/sec
@@ -93,20 +96,27 @@ def main():
     problem = Heat1D(taps="taylor")
     model = problem.default_model()
 
-    # ---- headline: fused Pallas kernel, full reference budget ------------
-    # Two measured runs, best-of reported — the axon tunnel's device state
-    # varies run-to-run.
+    # ---- headline: fused Pallas kernel (mixed-precision schedule), full
+    # reference budget. Two measured runs, best-of reported — the axon
+    # tunnel's device state varies run-to-run.
     # Seed 0 = the framework's default (solve()/CLI); per-step-keyed
-    # collocation streams make MAE seed-dependent within [0.0004, 0.008]
-    # at this budget — the default seed lands at ~0.0007.
+    # collocation streams make MAE seed-dependent within [0.0003, 0.008]
+    # at this budget — the default seed lands at ~0.0003.
     r1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
                                  batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS)
+                                 chunk_size=ITERATIONS, precision="mixed",
+                                 mixed_split=0.65)
     r2 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
                                  batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS, params=r1.params)
+                                 chunk_size=ITERATIONS, precision="mixed",
+                                 mixed_split=0.65, params=r1.params)
     mae = problem.mae(model.apply, r1.params, nodes=40)
     value = max(r1.iters_per_sec, r2.iters_per_sec)
+
+    # ---- comparison: the exact-fp32 kernel (solve()'s default mode) ------
+    f1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
+                                 batch_size=BATCH, lrate=1e-4,
+                                 chunk_size=ITERATIONS, params=r1.params)
 
     # ---- comparison: the generic XLA-scan trainer on the same chip -------
     scan_cfg = TrainConfig(iterations=5000, batch_size=BATCH, lrate=1e-4,
@@ -127,7 +137,9 @@ def main():
         "reference_mae": REFERENCE_HEAT_MAE,
         "mae_vs_reference_ratio": round(mae / REFERENCE_HEAT_MAE, 4),
         "final_loss": round(float(r1.loss_history[-1]), 8),
-        "engine": "fused_pallas_kernel (exact fp32 MXU)",
+        "engine": "fused_pallas_kernel (mixed schedule: bf16 coarse phase + "
+                  "exact-fp32 final phase, one dispatch)",
+        "fp32_kernel_iters_per_sec": round(f1.iters_per_sec, 1),
         "compile_time_s": round(r1.compile_time, 1),
         "wall_time_s": round(r1.wall_time, 2),
         "us_per_step": round(1e6 / value, 2),

@@ -141,7 +141,8 @@ def _solve(problem, args):
         result = train_heat_fused_result(
             problem, jax.random.key(args.seed), args.niters,
             batch_size=args.batch_size, lrate=args.lrate, model=model,
-            params=params, opt_state=opt_state, start_step=start_step)
+            params=params, opt_state=opt_state, start_step=start_step,
+            precision=getattr(args, "precision", "highest"))
     else:
         result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
                        model=model, params=params, opt_state=opt_state,
@@ -435,6 +436,16 @@ def build_parser() -> argparse.ArgumentParser:
                            help="training executor: scan = generic jitted "
                                 "trainer; fused = whole loop in one Pallas "
                                 "kernel (~2.4x faster, plain tanh MLP only)")
+            p.add_argument("--precision",
+                           choices=["highest", "mixed", "default"],
+                           default="highest",
+                           help="fused-engine MXU mode: highest = exact "
+                                "fp32 (bit-identical resume); mixed = bf16 "
+                                "coarse phase + fp32 final phase in one "
+                                "dispatch (~1.4x faster, equal-or-better "
+                                "MAE; resume re-plans the phase split); "
+                                "default = bf16 throughout (fastest, ~10x "
+                                "MAE)")
         if name == "heat2d":
             p.add_argument("--taps", choices=["jvp", "taylor"],
                            default="taylor")

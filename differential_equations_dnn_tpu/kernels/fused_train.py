@@ -18,13 +18,15 @@ ONE kernel executes K Adam steps end-to-end on-chip:
 
 This removes ALL per-step XLA scheduling overhead: the entire training loop
 for the reference heat configuration runs inside one Mosaic program.
-Measured on TPU v5 lite (round 2): **65-73k iters/s at exact-fp32 MXU
-precision, MAE 0.0003 at the reference 15k-iteration budget** vs 29.6k
-iters/s for the XLA-scan trainer on the same chip/day — 2.2x, and ~320x the
-reference's torch-CPU loop; wins at batch 256 (25.9k vs 10.2k) and batch 512
-via gradient-accumulation tiles (14.7k vs 7.1k) too. Reachable via
+Measured on TPU v5 lite (round 2): **65-76k iters/s at exact-fp32 MXU
+precision, and 91-95k iters/s with the ``precision="mixed"`` schedule (bf16
+coarse phase + exact-fp32 final phase chained in ONE dispatch), MAE 0.0003
+at the reference 15k-iteration budget** vs 29.6k iters/s for the XLA-scan
+trainer on the same chip/day — 3.2x, and ~450x the reference's torch-CPU
+loop; wins at batch 256 (25.9k vs 10.2k) and batch 512 via
+gradient-accumulation tiles (14.7k vs 7.1k) too. Reachable via
 ``solve("heat", engine="fused")`` or ``heat --engine fused`` on the CLI;
-bench.py uses it as the headline path.
+bench.py uses the mixed schedule as the headline path.
 
 Restriction: plain tanh MLP (the heat equation's reference net,
 heat.py:181-184). The generic path (any model/equation) remains
@@ -41,12 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
-# MXU precision for every matmul in the kernel. HIGHEST = exact fp32
-# (multi-pass MXU): measured 70k it/s and MAE 0.0011 at the reference heat
-# budget. DEFAULT (bf16 inputs, fp32 accumulate) is ~1.6x faster (110k it/s)
-# but the bf16 rounding of the Taylor derivative streams costs ~14x MAE
-# (0.015) — still under the reference's 0.0529, but not worth it here.
+# MXU precision for the kernel's matmuls. HIGHEST = exact fp32 (multi-pass
+# MXU): measured 70k it/s and MAE 0.0011 at the reference heat budget.
+# DEFAULT (bf16 inputs, fp32 accumulate) is ~1.6x faster (110k it/s) but the
+# bf16 rounding of the Taylor derivative streams costs ~14x MAE (0.015) —
+# still under the reference's 0.0529. ``precision="mixed"`` combines them as
+# a schedule: the coarse descent phase runs bf16, the final phase re-runs
+# exact fp32 (Adam state carries over bit-exactly via the resume path), which
+# recovers fp32-level MAE at near-bf16 throughput.
 _HIGH = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
 def _interpret() -> bool:
@@ -126,7 +135,8 @@ def _act_bwd(z, g, B):
     return jnp.concatenate([dz0, dz1, dz2, dz3, dzc], 0)
 
 
-def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
+def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0,
+                    precision=_HIGH):
     """One training step's loss and parameter gradients, written in plain
     jnp so it runs identically inside the Pallas kernel and as the pure-JAX
     test twin. ``params`` = (w_in, b_in, w_hid [L,H,H], b_hid [L,H], w_out,
@@ -140,14 +150,14 @@ def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
     # ---- forward, saving pre-activations ONLY (activations are recomputed
     # pointwise from zs in the backward — halves live VMEM) ----
     zs = []
-    z = jnp.dot(X, w_in, precision=_HIGH) + mask * b_in
+    z = jnp.dot(X, w_in, precision=precision) + mask * b_in
     zs.append(z)
     a = _act_fwd(z, B)
     for l in range(L):
-        z = jnp.dot(a, w_hid[l], precision=_HIGH) + mask * b_hid[l]
+        z = jnp.dot(a, w_hid[l], precision=precision) + mask * b_hid[l]
         zs.append(z)
         a = _act_fwd(z, B)
-    out = jnp.dot(a, w_out, precision=_HIGH) + mask * b_out
+    out = jnp.dot(a, w_out, precision=precision) + mask * b_out
 
     u_xx = out[2 * B:3 * B]
     u_t = out[3 * B:4 * B]
@@ -165,39 +175,39 @@ def fused_step_math(params, u, B, L, x_max=math.pi, t_max=3.0, kappa=1.0):
                          s * r0, s * ub1, s * ub2], 0)
 
     # ---- backward (layer inputs recomputed as act(z_{l-1})) ----
-    d_w_out = _dot_tn(_act_fwd(zs[L], B), G)
+    d_w_out = _dot_tn(_act_fwd(zs[L], B), G, precision)
     d_b_out = jnp.sum(mask * G, axis=0)
-    g = _dot_nt(G, w_out)
+    g = _dot_nt(G, w_out, precision)
 
     d_w_hid = []
     d_b_hid = []
     for l in range(L - 1, -1, -1):
         dz = _act_bwd(zs[l + 1], g, B)
-        d_w_hid.append(_dot_tn(_act_fwd(zs[l], B), dz))
+        d_w_hid.append(_dot_tn(_act_fwd(zs[l], B), dz, precision))
         d_b_hid.append(jnp.sum(mask * dz, axis=0))
-        g = _dot_nt(dz, w_hid[l])
+        g = _dot_nt(dz, w_hid[l], precision)
     d_w_hid = jnp.stack(d_w_hid[::-1]) if L > 0 else jnp.zeros_like(w_hid)
     d_b_hid = jnp.stack(d_b_hid[::-1]) if L > 0 else jnp.zeros_like(b_hid)
 
     dz = _act_bwd(zs[0], g, B)
-    d_w_in = _dot_tn(X, dz)
+    d_w_in = _dot_tn(X, dz, precision)
     d_b_in = jnp.sum(mask * dz, axis=0)
 
     return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out, d_b_out)
 
 
-def _dot_tn(a, b):
+def _dot_tn(a, b, precision=_HIGH):
     """aᵀ @ b without materialising the transpose: contract dim 0 of both
     operands (MXU consumes the layout natively via dimension numbers)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               precision=_HIGH,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
 
 
-def _dot_nt(a, b):
+def _dot_nt(a, b, precision=_HIGH):
     """a @ bᵀ without materialising the transpose: contract last dims."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               precision=_HIGH,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
 
 
@@ -218,7 +228,7 @@ def _adam_update(p, m, v, g, lr, t):
 _N_TENSORS = 6  # w_in, b_in, w_hid, b_hid, w_out, b_out
 
 
-def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr,
+def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr, precision,
                   step0_ref, u_ref, *refs):
     # refs layout: params_in (6), m_in (6), v_in (6),
     #              losses_out, params_out (6), m_out (6), v_out (6).
@@ -256,11 +266,11 @@ def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr,
         params = tuple(p_out[k][:] for k in range(_N_TENSORS))
         tile = B // T
         loss, grads = fused_step_math(params, u_ref[s, :tile], tile, L,
-                                      x_max, t_max, kappa)
+                                      x_max, t_max, kappa, precision)
         for t in range(1, T):
             loss_t, grads_t = fused_step_math(
                 params, u_ref[s, t * tile:(t + 1) * tile], tile, L,
-                x_max, t_max, kappa)
+                x_max, t_max, kappa, precision)
             loss = loss + loss_t
             grads = tuple(g + gt for g, gt in zip(grads, grads_t))
         if T > 1:
@@ -290,7 +300,8 @@ def _train_kernel(B, L, S, T, x_max, t_max, kappa, lr,
 def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
                            x_max=math.pi, t_max=3.0, kappa=1.0,
                            steps_per_cell: int | None = None,
-                           batch_tile: int | None = None):
+                           batch_tile: int | None = None,
+                           precision=_HIGH):
     """Run ``K = uniforms.shape[0]`` Adam steps entirely inside one Pallas
     kernel. ``params``/``m``/``v`` are the flat tuples
     (w_in, b_in, w_hid, b_hid, w_out, b_out); ``uniforms`` is [K, B, 2] of
@@ -326,7 +337,8 @@ def heat_fused_train_chunk(model, params, m, v, uniforms, step0, lrate,
     T = B // batch_tile
 
     kernel = functools.partial(_train_kernel, B, L, S, T, float(x_max),
-                               float(t_max), float(kappa), float(lrate))
+                               float(t_max), float(kappa), float(lrate),
+                               precision)
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
     # Whole-array blocks with a constant index_map: Pallas keeps revisited
@@ -409,7 +421,8 @@ def train_heat_fused(problem, key, iterations, batch_size=64, lrate=1e-4,
 def train_heat_fused_result(problem, key, iterations, batch_size=64,
                             lrate=1e-4, chunk_size=25_000, model=None,
                             params=None, opt_state=None, start_step: int = 0,
-                            steps_per_cell: int | None = None):
+                            steps_per_cell: int | None = None,
+                            precision="highest", mixed_split: float = 0.65):
     """Like :func:`train_heat_fused` but returns a full
     ``train.trainer.TrainResult`` (compile time measured separately,
     steady-state iters/sec) so the ``solve(engine="fused")`` / CLI
@@ -420,10 +433,57 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     ``params`` + ``opt_state`` + ``start_step`` continues BIT-identically to
     an uninterrupted run: the bias correction uses the absolute step and
     each step's collocation draw is keyed by its absolute index (so the
-    chunk layout cannot change the stream)."""
+    chunk layout cannot change the stream).
+
+    ``precision``: ``"highest"`` = exact fp32 MXU (default), ``"default"`` =
+    bf16 inputs with fp32 accumulation (~1.6x faster, ~14x MAE), ``"mixed"``
+    = a precision SCHEDULE — the first ``mixed_split`` of the budget runs
+    bf16, then the final phase re-runs exact fp32, recovering fp32-level MAE
+    at near-bf16 throughput. The collocation stream is identical in all
+    three modes. Split choice (measured at the reference heat budget,
+    interleaved A/B): 0.65 → MAE 0.0003 at 91-95k it/s; 0.8 leaves too few
+    fp32 steps to descend out of the bf16 noise floor (MAE 0.007)."""
     import time
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    if precision == "mixed":
+        n1 = int(iterations * mixed_split)
+        n2 = iterations - n1
+        if n1 == 0 or n2 == 0:
+            precision = "highest"
+        elif iterations > chunk_size:
+            # Chunked budgets: run the two phases as separate (internally
+            # chunked) calls chained through the bit-exact resume path.
+            coarse = train_heat_fused_result(
+                problem, key, n1, batch_size=batch_size, lrate=lrate,
+                chunk_size=chunk_size, model=model, params=params,
+                opt_state=opt_state, start_step=start_step,
+                steps_per_cell=steps_per_cell, precision="default")
+            fine = train_heat_fused_result(
+                problem, key, n2, batch_size=batch_size, lrate=lrate,
+                chunk_size=chunk_size, model=model, params=coarse.params,
+                opt_state=coarse.opt_state, start_step=start_step + n1,
+                steps_per_cell=steps_per_cell, precision="highest")
+            wall = coarse.wall_time + fine.wall_time
+            return TrainResult(
+                params=fine.params,
+                opt_state=fine.opt_state,
+                loss_history=np.concatenate([coarse.loss_history,
+                                             fine.loss_history]),
+                wall_time=wall,
+                iters_per_sec=iterations / wall if wall else float("inf"),
+                compile_time=coarse.compile_time + fine.compile_time,
+            )
+        else:
+            # Whole budget fits one dispatch: chain BOTH kernels inside one
+            # jitted program — zero host round-trips between the phases
+            # (each extra dispatch over a remote-device tunnel costs tens of
+            # ms, which would eat the bf16 phase's gain).
+            return _train_mixed_single_dispatch(
+                problem, key, iterations, n1, batch_size, lrate, model,
+                params, opt_state, start_step, steps_per_cell)
+    mxu_precision = _PRECISIONS[precision]
 
     # steps_per_cell=None → heat_fused_train_chunk picks the VMEM-safe
     # default per batch size. Measured good points: (64, 100) 73.5k it/s;
@@ -444,7 +504,7 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     run = jax.jit(functools.partial(
         heat_fused_train_chunk, model,
         x_max=problem.x_max, t_max=problem.t_max, kappa=problem.kappa,
-        lrate=lrate, steps_per_cell=steps_per_cell,
+        lrate=lrate, steps_per_cell=steps_per_cell, precision=mxu_precision,
     ))
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -478,6 +538,71 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
         params=unpack_params(model, flat),
         opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
         loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )
+
+
+def _train_mixed_single_dispatch(problem, key, iterations, n1, batch_size,
+                                 lrate, model, params, opt_state, start_step,
+                                 steps_per_cell):
+    """The ``precision="mixed"`` schedule as ONE XLA program: the bf16-MXU
+    kernel runs the first ``n1`` steps and hands params + Adam moments to the
+    exact-fp32 kernel in the same dispatch. The collocation stream is keyed
+    by absolute step index, so the phase boundary cannot change the draws."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    model = model or problem.default_model()
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_params(model, params)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_params(model, opt_state["m"])
+        v = pack_params(model, opt_state["v"])
+
+    n2 = iterations - n1
+    common = dict(x_max=problem.x_max, t_max=problem.t_max,
+                  kappa=problem.kappa, lrate=lrate,
+                  steps_per_cell=steps_per_cell)
+
+    @jax.jit
+    def run(flat, m, v, u1, u2, step0):
+        flat, m, v, l1 = heat_fused_train_chunk(
+            model, flat, m, v, u1, step0,
+            precision=jax.lax.Precision.DEFAULT, **common)
+        flat, m, v, l2 = heat_fused_train_chunk(
+            model, flat, m, v, u2, step0 + n1,
+            precision=jax.lax.Precision.HIGHEST, **common)
+        return flat, m, v, jnp.concatenate([l1, l2])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, 2))
+        )(start + jnp.arange(n))
+
+    t0 = time.perf_counter()
+    u1 = draw(start_step, n1)
+    u2 = draw(start_step + n1, n2)
+    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    flat, m, v, losses = compiled(flat, m, v, u1, u2, start_step)
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_params(model, flat),
+        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
+        loss_history=np.asarray(losses),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,

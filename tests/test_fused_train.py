@@ -129,3 +129,33 @@ def test_fused_rejects_unsupported_models(key):
     with pytest.raises(ValueError, match="tanh"):
         ft.heat_fused_train_chunk(model, (), (), (),
                                   jnp.zeros((1, 8, 2)), 0, 1e-4)
+
+
+def test_mixed_precision_schedule_single_dispatch(key):
+    """precision='mixed' chains the bf16 and fp32 kernels in one program;
+    the collocation stream is keyed by absolute step index, so on CPU
+    (where MXU precision modes are equivalent) the trajectory must match
+    the pure-fp32 run exactly."""
+    prob = Heat1D()
+    r_mixed = ft.train_heat_fused_result(
+        prob, jax.random.key(0), 10, batch_size=8, chunk_size=10,
+        steps_per_cell=2, precision="mixed", mixed_split=0.6)
+    r_fp32 = ft.train_heat_fused_result(
+        prob, jax.random.key(0), 10, batch_size=8, chunk_size=10,
+        steps_per_cell=2)
+    assert r_mixed.loss_history.shape == (10,)
+    np.testing.assert_allclose(r_mixed.loss_history, r_fp32.loss_history,
+                               rtol=1e-6)
+
+
+def test_mixed_precision_chunked_path(key):
+    """iterations > chunk_size takes the two-call resume route; the keyed
+    collocation stream keeps it equal to the single-dispatch trajectory."""
+    prob = Heat1D()
+    r = ft.train_heat_fused_result(
+        prob, jax.random.key(0), 10, batch_size=8, chunk_size=4,
+        steps_per_cell=2, precision="mixed", mixed_split=0.6)
+    r_one = ft.train_heat_fused_result(
+        prob, jax.random.key(0), 10, batch_size=8, chunk_size=10,
+        steps_per_cell=2, precision="mixed", mixed_split=0.6)
+    np.testing.assert_allclose(r.loss_history, r_one.loss_history, rtol=1e-6)

@@ -119,7 +119,10 @@ class DGM:
 
     # ---- forward ---------------------------------------------------------
 
-    def apply(self, params, x):
+    def apply(self, params, x, unroll=False):
+        """``unroll`` replaces the layer scan with a static Python loop
+        (required inside Pallas kernel bodies — Mosaic cannot lower
+        extensive-input scans)."""
         act = get_activation(self.activation)
         squeeze = x.ndim == 1
         if squeeze:
@@ -130,7 +133,12 @@ class DGM:
         def body(s, layer):
             return dgm_cell(x, s, layer, act), None
 
-        s, _ = lax.scan(body, s, params["layers"])
+        if unroll:
+            for l in range(self.num_layers):
+                layer = jax.tree.map(lambda a: a[l], params["layers"])
+                s, _ = body(s, layer)
+        else:
+            s, _ = lax.scan(body, s, params["layers"])
         y = dense(s, params["s_out"]["w"], params["s_out"]["b"])
         return y[0] if squeeze else y
 

@@ -161,10 +161,13 @@ class MLP:
 
     # ---- forward ---------------------------------------------------------
 
-    def apply(self, params, x, state=None, train=True):
+    def apply(self, params, x, state=None, train=True, unroll=False):
         """Forward pass. Stateless (no BN): returns ``y``. With BN: returns
         ``(y, new_state)`` where ``new_state`` holds updated running stats
-        (``new_state is state`` when ``train=False``)."""
+        (``new_state is state`` when ``train=False``). ``unroll`` replaces
+        the layer scan with a static Python loop (required when tracing
+        inside a Pallas kernel body — Mosaic cannot lower extensive-input
+        scans)."""
         act = get_activation(self.activation)
         squeeze = x.ndim == 1
         if squeeze:
@@ -181,7 +184,15 @@ class MLP:
                 def body(h, layer):
                     return act(dense(h, layer["w"], layer.get("b"))), None
 
-                h, _ = lax.scan(body, h, params["hidden"])
+                if unroll:
+                    # Static Python loop: Mosaic (Pallas TPU) has no lowering
+                    # for scan with extensive inputs, and the generic fused
+                    # training kernel traces this forward inside its body.
+                    for l in range(self.num_layers):
+                        layer = jax.tree.map(lambda a: a[l], params["hidden"])
+                        h, _ = body(h, layer)
+                else:
+                    h, _ = lax.scan(body, h, params["hidden"])
             y = dense(h, params["fc_out"]["w"], params["fc_out"]["b"])
             return y[0] if squeeze else y
 

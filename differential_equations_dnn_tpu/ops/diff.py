@@ -44,8 +44,13 @@ def dirderiv2(f, x, v):
 def coord_direction(x, axis):
     """Unit tangent along input coordinate ``axis`` of the *last* dimension,
     broadcast over any leading batch axes: for x of shape [..., d] returns a
-    [..., d] array of zeros with ones in component ``axis``."""
-    return jnp.zeros_like(x).at[..., axis].set(1.0)
+    [..., d] array of zeros with ones in component ``axis``.
+
+    Built from an iota comparison rather than ``.at[].set()``: the scatter
+    that a one-element update lowers to has no Mosaic (Pallas TPU) lowering,
+    and this op must trace inside the generic fused training kernel."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane == axis, jnp.ones_like(x), jnp.zeros_like(x))
 
 
 def value_dt(f, x, t_axis=0):

@@ -118,8 +118,10 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
 
     ``engine`` selects the training executor: "scan" (default) is the
     generic jitted lax.scan trainer; "fused" runs the whole loop inside one
-    Pallas kernel (heat equation + plain tanh MLP only; ~2.4x the scan's
-    throughput at exact fp32 — kernels.fused_train). For the fused engine,
+    Pallas kernel (plain tanh MLPs; heat via the specialised
+    kernels.fused_train, every other spec-registered equation — wave,
+    poisson, heat2d, burgers, simple_ode — via the generic
+    kernels.fused_engine). For the fused engine,
     ``precision`` picks the MXU mode: "highest" (exact fp32, default),
     "default" (bf16 in / fp32 accumulate, fastest, ~10x MAE), or "mixed"
     (bf16 coarse phase + exact-fp32 final phase chained in ONE dispatch —
@@ -212,14 +214,27 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         if engine == "fused":
             if ensemble > 1 or mesh is not None:
                 raise ValueError("engine='fused' is single-chip, single-run")
-            from differential_equations_dnn_tpu.kernels.fused_train import (
-                train_heat_fused_result,
-            )
+            if problem.name == "heat":
+                from differential_equations_dnn_tpu.kernels.fused_train import (
+                    train_heat_fused_result,
+                )
 
-            result = train_heat_fused_result(
-                problem, jax.random.key(seed), config.iterations,
-                batch_size=config.batch_size, lrate=config.lrate,
-                model=model, precision=precision)
+                result = train_heat_fused_result(
+                    problem, jax.random.key(seed), config.iterations,
+                    batch_size=config.batch_size, lrate=config.lrate,
+                    model=model, precision=precision)
+            else:
+                # Generic spec-driven engine (wave, poisson, heat2d,
+                # burgers, simple_ode, ... — kernels.fused_engine.SPECS).
+                from differential_equations_dnn_tpu.kernels.fused_engine import (
+                    train_fused_result,
+                )
+
+                result = train_fused_result(
+                    problem, jax.random.key(seed), config.iterations,
+                    batch_size=config.batch_size, lrate=config.lrate,
+                    model=model, precision=precision,
+                    schedule=config.schedule)
         elif engine == "scan":
             result = train(problem, jax.random.key(seed), config, model=model,
                            mesh=mesh)

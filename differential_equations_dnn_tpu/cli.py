@@ -134,15 +134,27 @@ def _solve(problem, args):
             args.seed = int(ckpt["seed"])
         print(f"Restored checkpoint at step {start_step} from {args.restore}")
     if fused:
-        from differential_equations_dnn_tpu.kernels.fused_train import (
-            train_heat_fused_result,
-        )
+        if problem.name == "heat":
+            from differential_equations_dnn_tpu.kernels.fused_train import (
+                train_heat_fused_result as _fused,
+            )
 
-        result = train_heat_fused_result(
-            problem, jax.random.key(args.seed), args.niters,
-            batch_size=args.batch_size, lrate=args.lrate, model=model,
-            params=params, opt_state=opt_state, start_step=start_step,
-            precision=getattr(args, "precision", "highest"))
+            result = _fused(
+                problem, jax.random.key(args.seed), args.niters,
+                batch_size=args.batch_size, lrate=args.lrate, model=model,
+                params=params, opt_state=opt_state, start_step=start_step,
+                precision=getattr(args, "precision", "highest"))
+        else:
+            from differential_equations_dnn_tpu.kernels.fused_engine import (
+                train_fused_result,
+            )
+
+            result = train_fused_result(
+                problem, jax.random.key(args.seed), args.niters,
+                batch_size=args.batch_size, lrate=args.lrate, model=model,
+                params=params, opt_state=opt_state, start_step=start_step,
+                precision=getattr(args, "precision", "highest"),
+                schedule=config.schedule)
     else:
         result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
                        model=model, params=params, opt_state=opt_state,
@@ -431,11 +443,15 @@ def build_parser() -> argparse.ArgumentParser:
                            default="taylor",
                            help="derivative-tap path; taylor = fused stacked "
                                 "streams (fastest, default), jvp = generic")
+        if name in ("simple_ode", "heat", "burgers", "wave", "poisson",
+                    "heat2d"):
             p.add_argument("--engine", choices=["scan", "fused"],
                            default="scan",
                            help="training executor: scan = generic jitted "
                                 "trainer; fused = whole loop in one Pallas "
-                                "kernel (~2.4x faster, plain tanh MLP only)")
+                                "kernel (2-4x faster, plain tanh MLP only; "
+                                "heat uses the specialised kernel, the "
+                                "rest the spec-driven fused engine)")
             p.add_argument("--precision",
                            choices=["highest", "mixed", "default"],
                            default="highest",
@@ -443,9 +459,8 @@ def build_parser() -> argparse.ArgumentParser:
                                 "fp32 (bit-identical resume); mixed = bf16 "
                                 "coarse phase + fp32 final phase in one "
                                 "dispatch (~1.4x faster, equal-or-better "
-                                "MAE; resume re-plans the phase split); "
-                                "default = bf16 throughout (fastest, ~10x "
-                                "MAE)")
+                                "MAE; heat only); default = bf16 "
+                                "throughout (fastest, ~10x MAE)")
         if name == "heat2d":
             p.add_argument("--taps", choices=["jvp", "taylor"],
                            default="taylor")

@@ -1,0 +1,669 @@
+"""Generalized fully-fused Pallas training engine: any stacked-Taylor PDE.
+
+``fused_train`` proved the architecture on the heat equation: the ENTIRE
+Adam loop runs inside one Mosaic program, with the forward written as
+stacked Taylor streams (one MXU matmul per layer for all derivative taps and
+constraint forwards together) and a hand-derived VJP of the stream algebra.
+
+This module generalizes that kernel from heat's hardcoded 7 streams to a
+per-equation **stream spec**:
+
+* ``groups`` — the stream layout: each group is one network-input block of B
+  rows (an interior batch, an IC face, a boundary edge, ...) carrying a
+  value stream plus ``n_second`` (first, second)-derivative Taylor pairs and
+  ``n_first`` first-only tangents;
+* ``build(u)`` — turns the step's pre-sampled uniforms [B, n_uniform] into
+  the stacked input rows [R·B, D] plus whatever columns the loss needs;
+* ``loss(outs, ctx)`` — the equation's residual loss over the named stream
+  outputs. Its gradient w.r.t. the streams (the cotangent that seeds the
+  hand-derived backward) is taken with ``jax.value_and_grad`` — an
+  elementwise graph Mosaic lowers fine; it is the big jvp-over-jvp graphs
+  that are impractical to compile, and those stay hand-written here.
+
+Specs are registered for simple_ode, heat, burgers, wave, poisson and
+heat2d — every tanh-MLP equation in the zoo trains inside one Mosaic
+kernel. (Integral equations keep the XLA scan: their quadrature already
+runs as one fused matmul chain there; DGM/Fourier/BatchNorm architectures
+are likewise scan-path only.)
+
+Reference hot loop being replaced: the per-script Python training loops,
+e.g. heat.py:124-147, simple_ode.py:91-110.
+"""
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from differential_equations_dnn_tpu.kernels.fused_train import (
+    _N_TENSORS,
+    _PRECISIONS,
+    _adam_update,
+    _dot_nt,
+    _dot_tn,
+    _interpret,
+    pack_params,
+    unpack_params,
+)
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Stream layout: groups of (value + Taylor pairs + first-only tangents)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Group:
+    """One network-input block of B rows in the stacked operand.
+
+    Row order within the group: value, then (first, second) per Taylor pair,
+    then the first-only tangents. Tangent rows' INPUT content is the
+    direction vector (first) / zeros (second-order seed), exactly as in
+    ops.taylor.mlp_streams."""
+    n_second: int = 0
+    n_first: int = 0
+
+    @property
+    def n_rows(self):
+        return 1 + 2 * self.n_second + self.n_first
+
+
+def _n_rows(groups):
+    return sum(g.n_rows for g in groups)
+
+
+def _bias_mask(groups, B, dtype):
+    """Value streams receive the bias; tangent streams do not."""
+    parts = []
+    for g in groups:
+        parts.append(jnp.ones((B, 1), dtype))
+        parts.append(jnp.zeros(((g.n_rows - 1) * B, 1), dtype))
+    return jnp.concatenate([p for p in parts if p.shape[0]], 0)
+
+
+def _act_fwd(groups, z, B):
+    """tanh on value streams, Taylor rules on tangents (per group state)."""
+    outs = []
+    off = 0
+    for g in groups:
+        z0 = z[off * B:(off + 1) * B]
+        a0 = jnp.tanh(z0)
+        d = 1.0 - a0 * a0
+        outs.append(a0)
+        cur = off + 1
+        for _ in range(g.n_second):
+            z1 = z[cur * B:(cur + 1) * B]
+            z2 = z[(cur + 1) * B:(cur + 2) * B]
+            outs.append(d * z1)
+            outs.append(d * z2 - 2.0 * a0 * d * (z1 * z1))
+            cur += 2
+        for _ in range(g.n_first):
+            outs.append(d * z[cur * B:(cur + 1) * B])
+            cur += 1
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+def _act_bwd(groups, z, gr, B):
+    """VJP of :func:`_act_fwd`. With a0 = tanh(z0), d = 1 − a0²,
+    d' = −2·a0·d, the per-group rules are
+
+      dz0 = d·g0 + d'·Σ(z_t·g_t over all tangents)
+                 − Σ_pairs 2·z1²·d·(d − 2a0²)·g2
+      dz1 = d·g1 − 4·a0·d·z1·g2          (pair firsts)
+      dz2 = d·g2                          (pair seconds)
+      dzf = d·gf                          (first-only tangents)
+    """
+    outs = []
+    off = 0
+    for g in groups:
+        z0 = z[off * B:(off + 1) * B]
+        g0 = gr[off * B:(off + 1) * B]
+        a0 = jnp.tanh(z0)
+        d = 1.0 - a0 * a0
+        dp = -2.0 * a0 * d
+        dz0 = d * g0
+        tail = []
+        cur = off + 1
+        for _ in range(g.n_second):
+            z1 = z[cur * B:(cur + 1) * B]
+            z2 = z[(cur + 1) * B:(cur + 2) * B]
+            g1 = gr[cur * B:(cur + 1) * B]
+            g2 = gr[(cur + 1) * B:(cur + 2) * B]
+            dz0 = (dz0 + dp * (z1 * g1 + z2 * g2)
+                   - 2.0 * (z1 * z1) * d * (d - 2.0 * a0 * a0) * g2)
+            tail.append(d * g1 - 4.0 * a0 * d * z1 * g2)
+            tail.append(d * g2)
+            cur += 2
+        for _ in range(g.n_first):
+            zf = z[cur * B:(cur + 1) * B]
+            gf = gr[cur * B:(cur + 1) * B]
+            dz0 = dz0 + dp * (zf * gf)
+            tail.append(d * gf)
+            cur += 1
+        outs.append(dz0)
+        outs.extend(tail)
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+# ---------------------------------------------------------------------------
+# Generic step math (pure jnp — kernel body AND test twin)
+# ---------------------------------------------------------------------------
+
+
+def engine_step_math(spec, params, u, B, L, precision=_HIGH):
+    """One training step's loss and parameter gradients for any stream spec.
+
+    ``params`` = the flat MLP tuple (w_in, b_in, w_hid, b_hid, w_out, b_out);
+    ``u`` = [B, spec.n_uniform] U[0,1) draws. Returns (loss, grads_tuple)."""
+    groups = spec.groups
+    w_in, b_in, w_hid, b_hid, w_out, b_out = params
+    X, ctx = spec.build(u)
+    mask = _bias_mask(groups, B, X.dtype)
+
+    # ---- forward, saving pre-activations only ----
+    zs = []
+    z = jnp.dot(X, w_in, precision=precision) + mask * b_in
+    zs.append(z)
+    a = _act_fwd(groups, z, B)
+    for l in range(L):
+        z = jnp.dot(a, w_hid[l], precision=precision) + mask * b_hid[l]
+        zs.append(z)
+        a = _act_fwd(groups, z, B)
+    out = jnp.dot(a, w_out, precision=precision) + mask * b_out
+
+    R = _n_rows(groups)
+    outs = tuple(out[k * B:(k + 1) * B] for k in range(R))
+    # Cotangent w.r.t. the stream outputs: tiny elementwise graph — safe to
+    # autodiff even inside a Mosaic kernel body.
+    loss, gouts = jax.value_and_grad(lambda o: spec.loss(o, ctx))(outs)
+    G = jnp.concatenate(gouts, 0)
+
+    # ---- backward (identical algebra to fused_train, generic act rules) ----
+    d_w_out = _dot_tn(_act_fwd(groups, zs[L], B), G, precision)
+    d_b_out = jnp.sum(mask * G, axis=0)
+    g = _dot_nt(G, w_out, precision)
+
+    d_w_hid = []
+    d_b_hid = []
+    for l in range(L - 1, -1, -1):
+        dz = _act_bwd(groups, zs[l + 1], g, B)
+        d_w_hid.append(_dot_tn(_act_fwd(groups, zs[l], B), dz, precision))
+        d_b_hid.append(jnp.sum(mask * dz, axis=0))
+        g = _dot_nt(dz, w_hid[l], precision)
+    d_w_hid = jnp.stack(d_w_hid[::-1]) if L > 0 else jnp.zeros_like(w_hid)
+    d_b_hid = jnp.stack(d_b_hid[::-1]) if L > 0 else jnp.zeros_like(b_hid)
+
+    dz = _act_bwd(groups, zs[0], g, B)
+    d_w_in = _dot_tn(X, dz, precision)
+    d_b_in = jnp.sum(mask * dz, axis=0)
+
+    return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out, d_b_out)
+
+
+# ---------------------------------------------------------------------------
+# Equation specs
+# ---------------------------------------------------------------------------
+
+
+def _cat(*cols):
+    return jnp.concatenate(cols, axis=1)
+
+
+@dataclass(frozen=True)
+class SimpleODESpec:
+    """dy/dt = −y, y(0) = y_ic (equations.simple_ode; ref simple_ode.py:41)."""
+    p: object
+    n_uniform: int = 1
+    groups = (Group(n_first=1), Group())  # interior (v, t'), t=0 face
+
+    def build(self, u):
+        t = (self.p.sample_scale * self.p.t_max) * u[:, :1]
+        zero = jnp.zeros_like(t)
+        one = jnp.ones_like(t)
+        X = jnp.concatenate([t, one, zero], 0)
+        return X, {}
+
+    def loss(self, outs, ctx):
+        y, dydt, y0 = outs
+        return jnp.mean(jnp.square(dydt + y) + jnp.square(y0 - self.p.y_ic))
+
+
+@dataclass(frozen=True)
+class HeatSpec:
+    """u_t = κ·u_xx (equations.heat; ref heat.py:50-95)."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=1, n_first=1),  # interior: v, (x', x''), t'
+              Group(), Group(), Group())     # IC, x=0, x=x_max
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero), _cat(zero, one),
+            _cat(x, zero), _cat(zero, t), _cat(xmax, t),
+        ], 0)
+        return X, {"x": x}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_t, u0, ub1, ub2 = outs
+        r = u_t - self.p.kappa * u_xx
+        r0 = u0 - jnp.sin(ctx["x"])
+        return jnp.mean(jnp.square(r) + jnp.square(r0)
+                        + jnp.square(ub1) + jnp.square(ub2))
+
+
+@dataclass(frozen=True)
+class BurgersSpec:
+    """u_t + u·u_x = ν·u_xx (equations.burgers; nonlinear residual — the
+    value stream itself enters the domain residual)."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=1, n_first=1), Group(), Group(), Group())
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero), _cat(zero, one),
+            _cat(x, zero), _cat(zero, t), _cat(xmax, t),
+        ], 0)
+        return X, {"x": x, "t": t}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_t, u_ic, ub0, ub1 = outs
+        x, t = ctx["x"], ctx["t"]
+        zero = jnp.zeros_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        r = u_t + u_ * u_x - self.p.nu * u_xx
+        r_ic = u_ic - self.p._exact_fn(x, zero)
+        r_b0 = ub0 - self.p._exact_fn(zero, t)
+        r_b1 = ub1 - self.p._exact_fn(xmax, t)
+        return jnp.mean(jnp.square(r) + jnp.square(r_ic)
+                        + jnp.square(r_b0) + jnp.square(r_b1))
+
+
+@dataclass(frozen=True)
+class WaveSpec:
+    """u_tt = c²·u_xx with a velocity IC (equations.wave): the t=0 face
+    carries its own first-order time tangent — a tap the shared-state
+    mlp_streams layout cannot express, but a per-group spec can."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=2),            # interior: v, (x',x''), (t',t'')
+              Group(n_first=1),             # t=0 face: v, t' (velocity IC)
+              Group(), Group())             # x=0, x=x_max
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero),
+            _cat(zero, one), _cat(zero, zero),
+            _cat(x, zero), _cat(zero, one),
+            _cat(zero, t), _cat(xmax, t),
+        ], 0)
+        return X, {"x": x}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_t, u_tt, u0, u0_t, ub1, ub2 = outs
+        r = u_tt - (self.p.c ** 2) * u_xx
+        r_pos = u0 - jnp.sin(ctx["x"])
+        return jnp.mean(jnp.square(r) + jnp.square(r_pos)
+                        + self.p.velocity_weight * jnp.square(u0_t)
+                        + jnp.square(ub1) + jnp.square(ub2))
+
+
+@dataclass(frozen=True)
+class PoissonSpec:
+    """−Δu = f, elliptic BVP (equations.poisson): no time axis at all."""
+    p: object
+    n_uniform: int = 3
+    groups = (Group(n_second=2),                       # interior Laplacian
+              Group(), Group(), Group(), Group())      # 4 boundary faces
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        y = self.p.x_max * u[:, 1:2]
+        e = self.p.x_max * u[:, 2:3]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        X = jnp.concatenate([
+            _cat(x, y), _cat(one, zero), _cat(zero, zero),
+            _cat(zero, one), _cat(zero, zero),
+            _cat(zero, e), _cat(xmax, e), _cat(e, zero), _cat(e, xmax),
+        ], 0)
+        return X, {"x": x, "y": y}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_y, u_yy, b1, b2, b3, b4 = outs
+        src = 2.0 * jnp.sin(ctx["x"]) * jnp.sin(ctx["y"])
+        r = -(u_xx + u_yy) - src
+        return jnp.mean(jnp.square(r) + jnp.square(b1) + jnp.square(b2)
+                        + jnp.square(b3) + jnp.square(b4))
+
+
+@dataclass(frozen=True)
+class Heat2DSpec:
+    """u_t = κ·(u_xx + u_yy) (equations.heat2d): 11 logical streams."""
+    p: object
+    n_uniform: int = 4
+    groups = (Group(n_second=2, n_first=1),            # interior
+              Group(),                                 # t=0 face
+              Group(), Group(), Group(), Group())      # 4 boundary faces
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        y = self.p.x_max * u[:, 1:2]
+        t = self.p.t_max * u[:, 2:3]
+        e = self.p.x_max * u[:, 3:4]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        xmax = jnp.full_like(x, self.p.x_max)
+        X = jnp.concatenate([
+            _cat(x, y, t),
+            _cat(one, zero, zero), _cat(zero, zero, zero),
+            _cat(zero, one, zero), _cat(zero, zero, zero),
+            _cat(zero, zero, one),
+            _cat(x, y, zero),
+            _cat(zero, e, t), _cat(xmax, e, t),
+            _cat(e, zero, t), _cat(e, xmax, t),
+        ], 0)
+        return X, {"x": x, "y": y}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_y, u_yy, u_t, u0, b1, b2, b3, b4 = outs
+        r = u_t - self.p.kappa * (u_xx + u_yy)
+        r0 = u0 - jnp.sin(ctx["x"]) * jnp.sin(ctx["y"])
+        return jnp.mean(jnp.square(r) + jnp.square(r0) + jnp.square(b1)
+                        + jnp.square(b2) + jnp.square(b3) + jnp.square(b4))
+
+
+SPECS = {
+    "simple_ode": SimpleODESpec,
+    "heat": HeatSpec,
+    "burgers": BurgersSpec,
+    "wave": WaveSpec,
+    "poisson": PoissonSpec,
+    "heat2d": Heat2DSpec,
+}
+
+
+def spec_for(problem):
+    """The stream spec for ``problem``, or None if it has no fused path."""
+    cls = SPECS.get(problem.name)
+    if cls is None:
+        return None
+    if getattr(problem, "taps", "jvp") == "pallas":
+        return None
+    return cls(problem)
+
+
+# ---------------------------------------------------------------------------
+# The kernel (scaffolding mirrors fused_train; step math is the spec's)
+# ---------------------------------------------------------------------------
+
+
+def _largest_divisor_leq(K, cap):
+    best = 1
+    i = 1
+    while i * i <= K:
+        if K % i == 0:
+            for d in (i, K // i):
+                if cap >= d > best:
+                    best = d
+        i += 1
+    return best
+
+
+def _engine_kernel(spec, B, L, S, T, lr, schedule, total, decay, precision,
+                   step0_ref, u_ref, *refs):
+    p_in = refs[0:6]
+    m_in = refs[6:12]
+    v_in = refs[12:18]
+    loss_ref = refs[18]
+    p_out = refs[19:25]
+    m_out = refs[25:31]
+    v_out = refs[31:37]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(_N_TENSORS):
+            p_out[k][:] = p_in[k][:]
+            m_out[k][:] = m_in[k][:]
+            v_out[k][:] = v_in[k][:]
+
+    def body(s, _):
+        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
+        tile = B // T
+        loss, grads = engine_step_math(spec, params, u_ref[s, :tile], tile,
+                                       L, precision)
+        for t in range(1, T):
+            loss_t, grads_t = engine_step_math(
+                spec, params, u_ref[s, t * tile:(t + 1) * tile], tile, L,
+                precision)
+            loss = loss + loss_t
+            grads = tuple(g + gt for g, gt in zip(grads, grads_t))
+        if T > 1:
+            inv = 1.0 / T
+            loss = loss * inv
+            grads = tuple(g * inv for g in grads)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = loss_ref[pl.ds(i, 1), :]
+        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
+        step = i * S + s
+
+        t = (step0_ref[0] + step + 1).astype(jnp.float32)
+        # Per-step learning rate (matches train.trainer's optax schedules:
+        # cosine_decay_schedule / exponential_decay with end value lr·decay).
+        if schedule == "cosine":
+            frac = jnp.minimum((t - 1.0) / total, 1.0)
+            lr_t = lr * (decay + (1.0 - decay) * 0.5
+                         * (1.0 + jnp.cos(math.pi * frac)))
+        elif schedule == "exponential":
+            lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
+        else:
+            lr_t = lr
+        for k in range(_N_TENSORS):
+            p_new, m_new, v_new = _adam_update(
+                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
+            p_out[k][:] = p_new
+            m_out[k][:] = m_new
+            v_out[k][:] = v_new
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
+                       steps_per_cell: int | None = None,
+                       batch_tile: int | None = None, precision=_HIGH,
+                       schedule="constant", total_steps=1, decay=0.1):
+    """Run ``K = uniforms.shape[0]`` Adam steps of ``spec``'s equation inside
+    one Pallas kernel. Layout/VMEM strategy identical to
+    fused_train.heat_fused_train_chunk (see there), with the VMEM budget
+    scaled by the spec's stream count."""
+    K, B, U = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+    R = _n_rows(spec.groups)
+    if steps_per_cell is None:
+        # Anchor: heat (R=7) runs S=100 at B=64 → working set ≈ R·B·S rows.
+        steps_per_cell = max(1, 44_800 // (R * B))
+    # Largest divisor of K within the budget (lane-packed loss rows hold
+    # ≤128 steps per grid cell).
+    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
+    # Tile cap scaled from heat's measured 256-row (7-stream) VMEM ceiling;
+    # halve until it divides the batch.
+    cap = max(64, (256 * 7) // R)
+    if batch_tile is None:
+        batch_tile = B
+        while batch_tile > cap and batch_tile % 2 == 0:
+            batch_tile //= 2
+    if B % batch_tile:
+        raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
+    T = B // batch_tile
+
+    kernel = functools.partial(_engine_kernel, spec, B, L, S, T,
+                               float(lrate), schedule, float(total_steps),
+                               float(decay), precision)
+
+    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    state_specs = [
+        pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(K // S,),
+        # Mosaic's default scoped-VMEM stack limit (16 MiB) is sized for
+        # small kernels; the wider specs (poisson R=9, heat2d R=12 at batch
+        # 256) legitimately need ~24 MiB of live stream working set. v5e has
+        # 128 MiB of VMEM per core — grant the kernel half of it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=(
+            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_specs=(
+            [pl.BlockSpec((K // S, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((K // S, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([step0], jnp.int32), uniforms, *params, *m, *v)
+
+    losses = out[0][:, :S].reshape(-1)
+    return tuple(out[1:7]), tuple(out[7:13]), tuple(out[13:19]), losses
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+
+def supports(problem, model=None) -> bool:
+    """True if (problem, model) can train on the generic fused engine."""
+    spec = spec_for(problem)
+    if spec is None:
+        return False
+    model = model or problem.default_model()
+    return (type(model).__name__ == "MLP" and model.batch_norm is None
+            and model.activation == "tanh"
+            and not getattr(model, "fourier_features", 0))
+
+
+def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
+                       chunk_size=25_000, model=None, params=None,
+                       opt_state=None, start_step: int = 0,
+                       steps_per_cell: int | None = None,
+                       precision: str = "highest",
+                       schedule: str | None = None, decay: float = 0.1,
+                       total_steps: int | None = None):
+    """Train any spec-registered equation with the generic fused kernel.
+    Same contract as fused_train.train_heat_fused_result: returns a
+    TrainResult; resuming with params + opt_state + start_step continues
+    bit-identically (absolute-step-keyed collocation draws).
+
+    ``schedule`` (None = the problem's default) applies the trainer's lr
+    schedules inside the kernel. ``total_steps`` is the schedule's decay
+    horizon (default ``start_step + iterations``); a run that will later be
+    resumed past ``iterations`` must pass its FULL planned budget here so
+    both legs sit on the same decay curve."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for equation "
+                         f"{problem.name!r} (available: {sorted(SPECS)})")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    mxu_precision = _PRECISIONS[precision]
+
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_params(model, params)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_params(model, opt_state["m"])
+        v = pack_params(model, opt_state["v"])
+
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if total_steps is None:
+        total_steps = start_step + iterations
+    run = jax.jit(functools.partial(
+        fused_engine_chunk, spec, model, lrate=lrate,
+        steps_per_cell=steps_per_cell, precision=mxu_precision,
+        schedule=schedule, total_steps=total_steps, decay=decay,
+    ))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    chunk = max(1, min(chunk_size, iterations))
+    t0 = time.perf_counter()
+    u0 = draw(start_step, chunk)
+    compiled = run.lower(flat, m, v, u0, start_step).compile()
+    compile_time = time.perf_counter() - t0
+
+    losses_out = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k = min(chunk, iterations - done)
+        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
+        step_fn = compiled if k == chunk else run
+        flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
+        losses_out.append(np.asarray(losses))
+        done += k
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_params(model, flat),
+        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
+        loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )

@@ -1,0 +1,179 @@
+"""Generic fused-engine tests (interpret mode on CPU).
+
+Three-way verification, mirroring test_fused_train: (1) the spec-driven
+step math (hand stream algebra + value_and_grad cotangent) must match
+jax.grad of the SAME problem.loss at the same points, for every registered
+spec; (2) the kernel must match a pure-jnp twin loop exactly; (3) short
+end-to-end training must converge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations import PROBLEMS
+from differential_equations_dnn_tpu.kernels import fused_engine as fe
+from differential_equations_dnn_tpu.kernels.fused_train import (
+    _adam_update,
+    pack_params,
+)
+from differential_equations_dnn_tpu.models import MLP
+
+
+def _batch_from_uniforms(prob, u, B):
+    """The batch dict that the spec's build() implies, so problem.loss can
+    be evaluated at the SAME collocation points."""
+    name = prob.name
+    z = jnp.zeros((B, 1))
+    if name == "simple_ode":
+        return {"t": prob.sample_scale * prob.t_max * u[:, :1], "t0": z}
+    xm = jnp.full((B, 1), prob.x_max)
+    if name in ("heat", "burgers", "wave"):
+        x = prob.x_max * u[:, :1]
+        t = prob.t_max * u[:, 1:2]
+        xt = jnp.concatenate([x, t], 1)
+        x0 = jnp.concatenate([x, z], 1)
+        b0 = jnp.concatenate([z, t], 1)
+        b1 = jnp.concatenate([xm, t], 1)
+        if name == "burgers":
+            return {"xt": xt, "x0t": x0, "b0": b0, "b1": b1}
+        return {"xt": xt, "x0": x0, "xb1": b0, "xb2": b1}
+    if name == "poisson":
+        x, y, e = (prob.x_max * u[:, i:i + 1] for i in range(3))
+        return {"xy": jnp.concatenate([x, y], 1),
+                "b_x0": jnp.concatenate([z, e], 1),
+                "b_x1": jnp.concatenate([xm, e], 1),
+                "b_y0": jnp.concatenate([e, z], 1),
+                "b_y1": jnp.concatenate([e, xm], 1)}
+    if name == "heat2d":
+        x = prob.x_max * u[:, :1]
+        y = prob.x_max * u[:, 1:2]
+        t = prob.t_max * u[:, 2:3]
+        e = prob.x_max * u[:, 3:4]
+        return {"xt": jnp.concatenate([x, y, t], 1),
+                "x0": jnp.concatenate([x, y, z], 1),
+                "b_x0": jnp.concatenate([z, e, t], 1),
+                "b_x1": jnp.concatenate([xm, e, t], 1),
+                "b_y0": jnp.concatenate([e, z, t], 1),
+                "b_y1": jnp.concatenate([e, xm, t], 1)}
+    raise AssertionError(name)
+
+
+@pytest.mark.parametrize("name", sorted(fe.SPECS))
+def test_step_math_matches_problem_loss_grad(name, key):
+    B = 12
+    prob = PROBLEMS[name](taps="jvp") if name in ("heat", "heat2d") \
+        else PROBLEMS[name]()
+    spec = fe.spec_for(prob)
+    model = prob.default_model()
+    params = model.init(key)
+    flat = pack_params(model, params)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (B, spec.n_uniform))
+
+    loss_e, grads_e = fe.engine_step_math(spec, flat, u, B, model.num_layers)
+
+    batch = _batch_from_uniforms(prob, u, B)
+    loss_r, grads_r = jax.value_and_grad(
+        lambda p: prob.loss(model.apply, p, batch))(params)
+    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    for ge, gr in zip(grads_e, pack_params(model, grads_r)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def _pure_twin(spec, model, flat, uniforms, lrate, schedule="constant",
+               total=1, decay=0.1):
+    """Host-side replica of the kernel's loop."""
+    import math as _math
+
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    losses = []
+    for i in range(uniforms.shape[0]):
+        loss, grads = fe.engine_step_math(spec, flat, uniforms[i],
+                                          uniforms.shape[1], model.num_layers)
+        losses.append(float(loss))
+        t = float(i + 1)
+        if schedule == "cosine":
+            frac = min((t - 1.0) / total, 1.0)
+            lr_t = lrate * (decay + (1 - decay) * 0.5
+                            * (1 + _math.cos(_math.pi * frac)))
+        else:
+            lr_t = lrate
+        new = []
+        for k in range(6):
+            p, mm, vv = _adam_update(flat[k], m[k], v[k], grads[k], lr_t, t)
+            new.append((p, mm, vv))
+        flat = tuple(n[0] for n in new)
+        m = tuple(n[1] for n in new)
+        v = tuple(n[2] for n in new)
+    return flat, np.array(losses)
+
+
+@pytest.mark.parametrize("schedule", ["constant", "cosine"])
+def test_kernel_matches_pure_loop(key, schedule):
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    spec = fe.spec_for(prob)
+    params = model.init(key)
+    flat = pack_params(model, params)
+    K, B = 6, 8
+    uniforms = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (K, B, spec.n_uniform))
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    p_k, _, _, losses_k = fe.fused_engine_chunk(
+        spec, model, flat, m, v, uniforms, 0, lrate=1e-3, steps_per_cell=3,
+        schedule=schedule, total_steps=K)
+    p_t, losses_t = _pure_twin(spec, model, flat, uniforms, 1e-3,
+                               schedule=schedule, total=K)
+    np.testing.assert_allclose(losses_k, losses_t, rtol=1e-5)
+    for a, b in zip(p_k, p_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_fused_engine_converges(key):
+    prob = PROBLEMS["simple_ode"]()
+    model = prob.default_model()
+    r = fe.train_fused_result(prob, key, 300, batch_size=16, lrate=1e-3,
+                              chunk_size=300)
+    assert r.loss_history.shape == (300,)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    assert np.isfinite(prob.mae(model.apply, r.params, nodes=10))
+
+
+def test_resume_is_bit_identical(key):
+    prob = PROBLEMS["poisson"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    full = fe.train_fused_result(prob, key, 8, batch_size=8, model=model,
+                                 chunk_size=8, steps_per_cell=2)
+    # The interrupted first leg must declare the FULL planned horizon so the
+    # cosine decay matches the uninterrupted run.
+    first = fe.train_fused_result(prob, key, 4, batch_size=8, model=model,
+                                  chunk_size=4, steps_per_cell=2,
+                                  total_steps=8)
+    second = fe.train_fused_result(prob, key, 4, batch_size=8, model=model,
+                                   params=first.params,
+                                   opt_state=first.opt_state, start_step=4,
+                                   chunk_size=4, steps_per_cell=2)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(second.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unsupported_configurations_rejected(key):
+    from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
+
+    assert fe.spec_for(Fredholm2()) is None
+    assert not fe.supports(Fredholm2())
+    # DGM model on a spec'd equation: supported flag must be False.
+    from differential_equations_dnn_tpu.models import DGM
+
+    assert not fe.supports(Heat1D(), DGM(input_dim=2, output_dim=1,
+                                         hidden_size=8, num_layers=1))
+    with pytest.raises(ValueError):
+        fe.train_fused_result(Fredholm2(), key, 4, batch_size=4)

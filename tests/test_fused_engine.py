@@ -165,6 +165,26 @@ def test_resume_is_bit_identical(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("chunk", [20, 8])
+def test_mixed_precision_schedule_matches_fp32_on_cpu(key, chunk):
+    """In interpret mode fp32 DEFAULT == HIGHEST, so the mixed schedule must
+    reproduce the plain run bit-for-bit — this pins the phase chaining
+    (single-dispatch at chunk=20, chunked resume path at chunk=8)."""
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    plain = fe.train_fused_result(prob, key, 20, batch_size=8, model=model,
+                                  chunk_size=20, steps_per_cell=2)
+    mixed = fe.train_fused_result(prob, key, 20, batch_size=8, model=model,
+                                  chunk_size=chunk, steps_per_cell=2,
+                                  precision="mixed")
+    assert mixed.loss_history.shape == (20,)
+    np.testing.assert_array_equal(mixed.loss_history, plain.loss_history)
+    for a, b in zip(jax.tree.leaves(plain.params),
+                    jax.tree.leaves(mixed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unsupported_configurations_rejected(key):
     from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
 

@@ -118,10 +118,11 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
 
     ``engine`` selects the training executor: "scan" (default) is the
     generic jitted lax.scan trainer; "fused" runs the whole loop inside one
-    Pallas kernel (plain tanh MLPs; heat via the specialised
-    kernels.fused_train, every other spec-registered equation — wave,
-    poisson, heat2d, burgers, simple_ode — via the generic
-    kernels.fused_engine). For the fused engine,
+    Pallas kernel (heat via the specialised kernels.fused_train; the other
+    MLP equations — wave, poisson, heat2d, burgers, simple_ode — via the
+    generic kernels.fused_engine; the DGM-architecture equations —
+    fitzhugh_nagumo dgm arch, fredholm gauss — via kernels.fused_dgm with
+    a hand-derived VJP of the gate recurrence). For the fused engine,
     ``precision`` picks the MXU mode: "highest" (exact fp32, default),
     "default" (bf16 in / fp32 accumulate, fastest, ~10x MAE), or "mixed"
     (bf16 coarse phase + exact-fp32 final phase chained in ONE dispatch —
@@ -150,7 +151,9 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     if ensemble is None or finetune is None:
         auto_ens, auto_ft = _auto_defaults(problem, model)
         if ensemble is None:
-            ensemble = auto_ens
+            # The fused engines are single-run by design; an auto-ensemble
+            # default must not force them off the kernel path.
+            ensemble = 0 if engine == "fused" else auto_ens
         if finetune is None:
             finetune = auto_ft
     model = model or problem.default_model()
@@ -214,6 +217,8 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         if engine == "fused":
             if ensemble > 1 or mesh is not None:
                 raise ValueError("engine='fused' is single-chip, single-run")
+            from differential_equations_dnn_tpu.kernels import fused_dgm
+
             if problem.name == "heat":
                 from differential_equations_dnn_tpu.kernels.fused_train import (
                     train_heat_fused_result,
@@ -223,6 +228,14 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
                     problem, jax.random.key(seed), config.iterations,
                     batch_size=config.batch_size, lrate=config.lrate,
                     model=model, precision=precision)
+            elif fused_dgm.supports(problem, model, config.batch_size):
+                # DGM-architecture equations (fitzhugh_nagumo dgm arch,
+                # fredholm gauss — kernels.fused_dgm).
+                result = fused_dgm.train_dgm_fused_result(
+                    problem, jax.random.key(seed), config.iterations,
+                    batch_size=config.batch_size, lrate=config.lrate,
+                    model=model, precision=precision,
+                    schedule=config.schedule)
             else:
                 # Generic spec-driven engine (wave, poisson, heat2d,
                 # burgers, simple_ode, ... — kernels.fused_engine.SPECS).

@@ -134,6 +134,8 @@ def _solve(problem, args):
             args.seed = int(ckpt["seed"])
         print(f"Restored checkpoint at step {start_step} from {args.restore}")
     if fused:
+        from differential_equations_dnn_tpu.kernels import fused_dgm
+
         if problem.name == "heat":
             from differential_equations_dnn_tpu.kernels.fused_train import (
                 train_heat_fused_result as _fused,
@@ -144,6 +146,13 @@ def _solve(problem, args):
                 batch_size=args.batch_size, lrate=args.lrate, model=model,
                 params=params, opt_state=opt_state, start_step=start_step,
                 precision=getattr(args, "precision", "highest"))
+        elif fused_dgm.supports(problem, model, args.batch_size):
+            result = fused_dgm.train_dgm_fused_result(
+                problem, jax.random.key(args.seed), args.niters,
+                batch_size=args.batch_size, lrate=args.lrate, model=model,
+                params=params, opt_state=opt_state, start_step=start_step,
+                precision=getattr(args, "precision", "highest"),
+                schedule=config.schedule)
         else:
             from differential_equations_dnn_tpu.kernels.fused_engine import (
                 train_fused_result,
@@ -315,7 +324,10 @@ def _cmd_equation(name, args):
 
     auto_ens, auto_ft = _auto_defaults(problem, None)
     if getattr(args, "ensemble", None) is None:
-        args.ensemble = auto_ens
+        # The fused engines are single-run by design: the auto-ensemble
+        # default must not silently bump them off the kernel path.
+        args.ensemble = 0 if getattr(args, "engine", "scan") == "fused" \
+            else auto_ens
         if args.ensemble:
             print(f"[{name}] arch=dgm is init-sensitive: defaulting to "
                   f"--ensemble {args.ensemble} (pass --ensemble 1 to force "
@@ -444,14 +456,15 @@ def build_parser() -> argparse.ArgumentParser:
                            help="derivative-tap path; taylor = fused stacked "
                                 "streams (fastest, default), jvp = generic")
         if name in ("simple_ode", "heat", "burgers", "wave", "poisson",
-                    "heat2d"):
+                    "heat2d", "fitzhugh_nagumo", "fredholm"):
             p.add_argument("--engine", choices=["scan", "fused"],
                            default="scan",
                            help="training executor: scan = generic jitted "
                                 "trainer; fused = whole loop in one Pallas "
-                                "kernel (2-4x faster, plain tanh MLP only; "
-                                "heat uses the specialised kernel, the "
-                                "rest the spec-driven fused engine)")
+                                "kernel (1.6-4x faster; heat uses the "
+                                "specialised kernel, MLP equations the "
+                                "spec-driven fused engine, DGM equations "
+                                "the hand-VJP DGM engine)")
             p.add_argument("--precision",
                            choices=["highest", "mixed", "default"],
                            default="highest",

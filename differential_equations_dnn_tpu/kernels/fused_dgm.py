@@ -1,0 +1,639 @@
+"""Fully-fused Pallas training engine for DGM (LSTM-gate) networks.
+
+Counterpart of :mod:`fused_engine` (MLP stream specs) for the DGM
+architecture (models/dgm.py; reference dgm_net.py:20-119 /
+neural_networks.py:44-177): the ENTIRE Adam loop runs inside one Mosaic
+program, with the forward written as stacked value/first-order-tangent
+streams through the gate recurrence
+
+    Z,G,R = act(s·Wzgr + x·Uzgr + b)   (fused 3-gate matmul)
+    H     = act((s⊙R)·Wh + x·Uh + bh)
+    s'    = (1−G)⊙H + Z⊙s
+
+and a HAND-DERIVED VJP of the stream algebra. Autodiff inside a Mosaic
+kernel body was measured at ~100x slower than this hand backward (the
+transpose graph of the stream concatenates/slices does not lower well) —
+the elementwise loss cotangent is the only part left to ``jax.grad``.
+
+Stream rules (per group: one value row-block, ``n_first`` tangent blocks;
+second-order taps are not supported — DGM equations here need at most
+first derivatives):
+
+    act:  v → σ(v),  t_k → σ'(v)·t_k
+    mul:  v → a_v·b_v,  t_k → a_v·b_tk + a_tk·b_v
+
+with σ ∈ {tanh, relu} (relu for the reference's variant-A gates,
+neural_networks.py:99-104).
+
+Specs registered: fitzhugh_nagumo (value + time tangent; reference
+fitzhugh_nagumo.py:53-97) and fredholm (value-only streams with the
+Gauss-Legendre quadrature evaluated INSIDE the kernel; reference
+fredholm.py:47-74 runs 50 Python-loop forwards per step).
+
+Reference hot loops replaced: fitzhugh_nagumo.py:100-147, fredholm.py:77-115.
+"""
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from differential_equations_dnn_tpu.kernels.fused_engine import (
+    Group,
+    _bias_mask,
+    _largest_divisor_leq,
+    _n_rows,
+)
+from differential_equations_dnn_tpu.kernels.fused_train import (
+    _PRECISIONS,
+    _adam_update,
+    _dot_nt,
+    _dot_tn,
+    _interpret,
+)
+
+_HIGH = jax.lax.Precision.HIGHEST
+_N_TENSORS = 10  # w_in, b_in, Wzgr, Uzgr, bzgr, Wh, Uh, bh, w_out, b_out
+
+
+# ---------------------------------------------------------------------------
+# Param packing
+# ---------------------------------------------------------------------------
+
+
+def pack_dgm(params):
+    """DGM param pytree (models/dgm.py layout) → flat 10-tuple."""
+    return (params["s_in"]["w"], params["s_in"]["b"],
+            params["layers"]["Wzgr"], params["layers"]["Uzgr"],
+            params["layers"]["bzgr"], params["layers"]["Wh"],
+            params["layers"]["Uh"], params["layers"]["bh"],
+            params["s_out"]["w"], params["s_out"]["b"])
+
+
+def unpack_dgm(flat):
+    w_in, b_in, Wzgr, Uzgr, bzgr, Wh, Uh, bh, w_out, b_out = flat
+    return {"s_in": {"w": w_in, "b": b_in},
+            "layers": {"Wzgr": Wzgr, "Uzgr": Uzgr, "bzgr": bzgr,
+                       "Wh": Wh, "Uh": Uh, "bh": bh},
+            "s_out": {"w": w_out, "b": b_out}}
+
+
+# ---------------------------------------------------------------------------
+# Stream algebra: activation + product, forward and VJP
+# ---------------------------------------------------------------------------
+
+
+def _check_groups(groups):
+    if any(g.n_second for g in groups):
+        raise ValueError("DGM streams support first-order tangents only")
+
+
+def _act_fwd(groups, z, B, act):
+    outs = []
+    off = 0
+    for g in groups:
+        zv = z[off * B:(off + 1) * B]
+        if act == "tanh":
+            av = jnp.tanh(zv)
+            d = 1.0 - av * av
+        else:  # relu
+            av = jnp.maximum(zv, 0.0)
+            d = jnp.where(zv > 0.0, 1.0, 0.0)
+        outs.append(av)
+        for k in range(g.n_first):
+            zt = z[(off + 1 + k) * B:(off + 2 + k) * B]
+            outs.append(d * zt)
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+def _act_bwd(groups, z, u, B, act):
+    """VJP of :func:`_act_fwd`: with d = σ'(z_v), d' = σ''(z_v),
+
+        dz_v  = d·u_v + d'·Σ_k z_tk·u_tk      (d' = −2σd for tanh, 0 for relu)
+        dz_tk = d·u_tk
+    """
+    outs = []
+    off = 0
+    for g in groups:
+        zv = z[off * B:(off + 1) * B]
+        uv = u[off * B:(off + 1) * B]
+        if act == "tanh":
+            av = jnp.tanh(zv)
+            d = 1.0 - av * av
+            dp = -2.0 * av * d
+        else:
+            d = jnp.where(zv > 0.0, 1.0, 0.0)
+            dp = None
+        dzv = d * uv
+        tail = []
+        for k in range(g.n_first):
+            zt = z[(off + 1 + k) * B:(off + 2 + k) * B]
+            ut = u[(off + 1 + k) * B:(off + 2 + k) * B]
+            if dp is not None:
+                dzv = dzv + dp * (zt * ut)
+            tail.append(d * ut)
+        outs.append(dzv)
+        outs.extend(tail)
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+def _mul_fwd(groups, a, b, B):
+    """Stream product c = a ⊙ b: c_v = a_v·b_v, c_tk = a_v·b_tk + a_tk·b_v."""
+    outs = []
+    off = 0
+    for g in groups:
+        av = a[off * B:(off + 1) * B]
+        bv = b[off * B:(off + 1) * B]
+        outs.append(av * bv)
+        for k in range(g.n_first):
+            at = a[(off + 1 + k) * B:(off + 2 + k) * B]
+            bt = b[(off + 1 + k) * B:(off + 2 + k) * B]
+            outs.append(av * bt + at * bv)
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+def _mul_bwd(groups, u, b, B):
+    """VJP of :func:`_mul_fwd` w.r.t. its FIRST operand (symmetric — call
+    with operands swapped for the second):
+
+        da_v  = u_v·b_v + Σ_k u_tk·b_tk
+        da_tk = u_tk·b_v
+    """
+    outs = []
+    off = 0
+    for g in groups:
+        uv = u[off * B:(off + 1) * B]
+        bv = b[off * B:(off + 1) * B]
+        dav = uv * bv
+        tail = []
+        for k in range(g.n_first):
+            ut = u[(off + 1 + k) * B:(off + 2 + k) * B]
+            bt = b[(off + 1 + k) * B:(off + 2 + k) * B]
+            dav = dav + ut * bt
+            tail.append(ut * bv)
+        outs.append(dav)
+        outs.extend(tail)
+        off += g.n_rows
+    return jnp.concatenate(outs, 0)
+
+
+# ---------------------------------------------------------------------------
+# Generic DGM step math (pure jnp — kernel body AND test twin)
+# ---------------------------------------------------------------------------
+
+
+def dgm_step_math(spec, params, u, B, L, precision=_HIGH):
+    """One training step's loss and parameter gradients for a DGM stream
+    spec. ``params`` = the flat 10-tuple; ``u`` = [B, spec.n_uniform]
+    U[0,1) draws. Returns (loss, grads_tuple)."""
+    groups = spec.groups
+    act = spec.act
+    w_in, b_in, Wzgr, Uzgr, bzgr, Wh, Uh, bh, w_out, b_out = params
+    X, ctx = spec.build(u)
+    mask = _bias_mask(groups, B, X.dtype)
+    H = w_in.shape[1]
+
+    # ---- forward, saving layer-input states + pre-activations ----
+    s_in_pre = jnp.dot(X, w_in, precision=precision) + mask * b_in
+    s = _act_fwd(groups, s_in_pre, B, act)
+    states = [s]
+    zgr_pres = []
+    h_pres = []
+    for l in range(L):
+        zgr_pre = (jnp.dot(s, Wzgr[l], precision=precision)
+                   + jnp.dot(X, Uzgr[l], precision=precision)
+                   + mask * bzgr[l])
+        zgr = _act_fwd(groups, zgr_pre, B, act)
+        z, g, r = zgr[:, :H], zgr[:, H:2 * H], zgr[:, 2 * H:]
+        sr = _mul_fwd(groups, s, r, B)
+        h_pre = (jnp.dot(sr, Wh[l], precision=precision)
+                 + jnp.dot(X, Uh[l], precision=precision)
+                 + mask * bh[l])
+        h = _act_fwd(groups, h_pre, B, act)
+        om = mask - g  # one-minus-G under stream semantics (linear)
+        s = _mul_fwd(groups, om, h, B) + _mul_fwd(groups, z, s, B)
+        zgr_pres.append(zgr_pre)
+        h_pres.append(h_pre)
+        states.append(s)
+    out = jnp.dot(s, w_out, precision=precision) + mask * b_out
+
+    R = _n_rows(groups)
+    outs = tuple(out[k * B:(k + 1) * B] for k in range(R))
+    # Elementwise loss cotangent — the one part left to autodiff (tiny graph).
+    loss, gouts = jax.value_and_grad(lambda o: spec.loss(o, ctx))(outs)
+    G = jnp.concatenate(gouts, 0)
+
+    # ---- hand backward through the gate recurrence ----
+    d_w_out = _dot_tn(states[L], G, precision)
+    d_b_out = jnp.sum(mask * G, axis=0)
+    ds = _dot_nt(G, w_out, precision)
+
+    d_Wzgr, d_Uzgr, d_bzgr = [], [], []
+    d_Wh, d_Uh, d_bh = [], [], []
+    for l in range(L - 1, -1, -1):
+        s_prev = states[l]
+        zgr_pre = zgr_pres[l]
+        h_pre = h_pres[l]
+        # recompute the gates (saves VMEM vs. storing activations)
+        zgr = _act_fwd(groups, zgr_pre, B, act)
+        z, g, r = zgr[:, :H], zgr[:, H:2 * H], zgr[:, 2 * H:]
+        h = _act_fwd(groups, h_pre, B, act)
+        om = mask - g
+        sr = _mul_fwd(groups, s_prev, r, B)
+
+        # s' = om⊙h + z⊙s_prev
+        d_om = _mul_bwd(groups, ds, h, B)
+        dh = _mul_bwd(groups, ds, om, B)
+        dz = _mul_bwd(groups, ds, s_prev, B)
+        ds_prev = _mul_bwd(groups, ds, z, B)
+        dg = -d_om
+        # h = act(h_pre);  h_pre = sr·Wh + X·Uh + bh
+        dh_pre = _act_bwd(groups, h_pre, dh, B, act)
+        d_Wh.append(_dot_tn(sr, dh_pre, precision))
+        d_Uh.append(_dot_tn(X, dh_pre, precision))
+        d_bh.append(jnp.sum(mask * dh_pre, axis=0))
+        dsr = _dot_nt(dh_pre, Wh[l], precision)
+        # sr = s_prev ⊙ r
+        ds_prev = ds_prev + _mul_bwd(groups, dsr, r, B)
+        dr = _mul_bwd(groups, dsr, s_prev, B)
+        # zgr = act(zgr_pre);  zgr_pre = s_prev·Wzgr + X·Uzgr + bzgr
+        dzgr = jnp.concatenate([dz, dg, dr], axis=1)
+        dzgr_pre = _act_bwd(groups, zgr_pre, dzgr, B, act)
+        d_Wzgr.append(_dot_tn(s_prev, dzgr_pre, precision))
+        d_Uzgr.append(_dot_tn(X, dzgr_pre, precision))
+        d_bzgr.append(jnp.sum(mask * dzgr_pre, axis=0))
+        ds = ds_prev + _dot_nt(dzgr_pre, Wzgr[l], precision)
+
+    # s_0 = act(X·w_in + b_in)
+    dz0 = _act_bwd(groups, s_in_pre, ds, B, act)
+    d_w_in = _dot_tn(X, dz0, precision)
+    d_b_in = jnp.sum(mask * dz0, axis=0)
+
+    stack = lambda gs: jnp.stack(gs[::-1])
+    return loss, (d_w_in, d_b_in, stack(d_Wzgr), stack(d_Uzgr),
+                  stack(d_bzgr), stack(d_Wh), stack(d_Uh), stack(d_bh),
+                  d_w_out, d_b_out)
+
+
+# ---------------------------------------------------------------------------
+# Equation specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FNDGMSpec:
+    """FitzHugh–Nagumo system, DGM parity arch (equations.fitzhugh_nagumo;
+    reference fitzhugh_nagumo.py:53-97). Streams: interior value + time
+    tangent, plus the t=0 IC forward. Collocation is continuous-uniform on
+    [0, t_max] (the scan path reproduces the reference's fixed-grid
+    subsampling; continuous draws avoid grid-gap oscillation and train to
+    the same loss)."""
+    p: object
+    n_uniform: int = 1
+    n_const: int = 0
+    act: str = "tanh"
+    groups = (Group(n_first=1), Group())
+
+    def build(self, u):
+        t = self.p.t_max * u[:, :1]
+        one = jnp.ones_like(t)
+        zero = jnp.zeros_like(t)
+        X = jnp.concatenate([t, one, zero], 0)
+        return X, {}
+
+    def loss(self, outs, ctx):
+        sv, dsdt, s0 = outs
+        p = self.p
+        # No column slicing (its VJP pad does not lower in Mosaic): the
+        # sibling component comes from a constant 2x2 swap matmul, and the
+        # per-column RHS is selected with an iota mask.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (2, 2), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (2, 2), 1)
+        swap = jnp.where(ri + ci == 1, 1.0, 0.0).astype(sv.dtype)
+        rev = jnp.dot(sv, swap, precision=_HIGH)
+        col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1)
+        f_y = sv ** 3 / 3.0 + rev - p.i_ext - sv          # col 0 (y, w=rev)
+        f_w = (p.beta * sv - p.alpha - rev) / p.tau       # col 1 (w, y=rev)
+        r = dsdt + jnp.where(col == 0, f_y, f_w)
+        # mean(r_y²)+mean(r_w²)+mean((s0−ic)²) = 2·mean_full(r²) + ...
+        return (2.0 * jnp.mean(jnp.square(r))
+                + jnp.mean(jnp.square(s0 - p.y_ic)))
+
+
+@dataclass(frozen=True)
+class FredholmDGMSpec:
+    """Fredholm II integral equation, DGM variant-A parity arch
+    (equations.fredholm; reference fredholm.py:47-74). Value-only streams:
+    collocation points + ⌈k/B⌉ groups of Gauss–Legendre nodes, with the
+    quadrature sum computed INSIDE the kernel (the reference runs k=50
+    sequential net forwards per step inside the loss). Node positions and
+    weights arrive via the const operand (zero-padded past k)."""
+    p: object
+    n_groups: int
+    act: str = "relu"
+    n_uniform: int = 1
+
+    @property
+    def n_const(self):
+        # [nodes | weights] for each node group.
+        return 2 * (self.n_groups - 1)
+
+    @property
+    def groups(self):
+        return tuple(Group() for _ in range(self.n_groups))
+
+    def build(self, u, const=None):
+        # ``const`` is [2·(n_groups−1), B, 1]: leading-dim indexing keeps
+        # every part at lane offset 0 (column-slicing a [B, C] array gives
+        # offset-c layouts that tpu.concatenate rejects).
+        x = self.p.upper * u[:, :1]
+        parts = [x]
+        for j in range(self.n_groups - 1):
+            parts.append(const[2 * j])
+        X = jnp.concatenate(parts, 0)
+        return X, {"x": x, "const": const}
+
+    def loss(self, outs, ctx):
+        x, const = ctx["x"], ctx["const"]
+        y_x = outs[0]
+        # integral ≈ Σ_j w_j·cos(t_j)·y(t_j): scalar, shared by all samples.
+        integral = 0.0
+        for j in range(self.n_groups - 1):
+            t_j = const[2 * j]
+            w_j = const[2 * j + 1]
+            integral = integral + jnp.sum(w_j * jnp.cos(t_j) * outs[1 + j])
+        r = y_x - jnp.sin(x) * (1.0 + integral)
+        return jnp.mean(jnp.square(r))
+
+
+def spec_for(problem, batch_size=None):
+    """The DGM stream spec for ``problem``, or None."""
+    if problem.name == "fitzhugh_nagumo" and getattr(problem, "arch",
+                                                     "dgm") == "dgm":
+        return FNDGMSpec(problem)
+    if problem.name == "fredholm" and problem.quadrature == "gauss":
+        n_node_groups = -(-problem.k // batch_size) if batch_size else 1
+        return FredholmDGMSpec(problem, n_groups=1 + n_node_groups)
+    return None
+
+
+def _fredholm_const(problem, batch_size, n_groups, dtype=jnp.float32):
+    """[2·(n_groups−1), B, 1] stacked (nodes, weights), zero-padded."""
+    from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
+
+    nodes, weights = gauss_legendre_nodes(problem.k, 0.0, problem.upper)
+    cols = []
+    for j in range(n_groups - 1):
+        n_j = np.zeros((batch_size,), np.float64)
+        w_j = np.zeros((batch_size,), np.float64)
+        chunk = slice(j * batch_size, min((j + 1) * batch_size, problem.k))
+        size = chunk.stop - chunk.start
+        n_j[:size] = np.asarray(nodes)[chunk]
+        w_j[:size] = np.asarray(weights)[chunk]
+        cols.extend([n_j, w_j])
+    return jnp.asarray(np.stack(cols, axis=0)[:, :, None], dtype)
+
+
+def supports(problem, model=None, batch_size=None) -> bool:
+    """True if (problem, model) can train on the fused DGM engine."""
+    spec = spec_for(problem, batch_size or 32)
+    if spec is None:
+        return False
+    model = model or problem.default_model()
+    return (type(model).__name__ == "DGM"
+            and model.activation == spec.act)
+
+
+# ---------------------------------------------------------------------------
+# The kernel (scaffolding mirrors fused_engine; 10 state tensors + const)
+# ---------------------------------------------------------------------------
+
+
+def _dgm_kernel(spec, B, L, S, lr, schedule, total, decay, precision,
+                has_const, step0_ref, u_ref, *refs):
+    idx = 0
+    if has_const:
+        const_ref = refs[0]
+        idx = 1
+    p_in = refs[idx:idx + _N_TENSORS]
+    m_in = refs[idx + _N_TENSORS:idx + 2 * _N_TENSORS]
+    v_in = refs[idx + 2 * _N_TENSORS:idx + 3 * _N_TENSORS]
+    loss_ref = refs[idx + 3 * _N_TENSORS]
+    p_out = refs[idx + 3 * _N_TENSORS + 1:idx + 4 * _N_TENSORS + 1]
+    m_out = refs[idx + 4 * _N_TENSORS + 1:idx + 5 * _N_TENSORS + 1]
+    v_out = refs[idx + 5 * _N_TENSORS + 1:idx + 6 * _N_TENSORS + 1]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(_N_TENSORS):
+            p_out[k][:] = p_in[k][:]
+            m_out[k][:] = m_in[k][:]
+            v_out[k][:] = v_in[k][:]
+
+    def body(s, _):
+        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
+        if has_const:
+            bound = functools.partial(spec.build, const=const_ref[:])
+            frozen = spec_with_build(spec, bound)
+        else:
+            frozen = spec
+        loss, grads = dgm_step_math(frozen, params, u_ref[s], B, L, precision)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = loss_ref[pl.ds(i, 1), :]
+        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
+        step = i * S + s
+
+        t = (step0_ref[0] + step + 1).astype(jnp.float32)
+        if schedule == "cosine":
+            frac = jnp.minimum((t - 1.0) / total, 1.0)
+            lr_t = lr * (decay + (1.0 - decay) * 0.5
+                         * (1.0 + jnp.cos(math.pi * frac)))
+        elif schedule == "exponential":
+            lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
+        else:
+            lr_t = lr
+        for k in range(_N_TENSORS):
+            p_new, m_new, v_new = _adam_update(
+                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
+            p_out[k][:] = p_new
+            m_out[k][:] = m_new
+            v_out[k][:] = v_new
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+class spec_with_build:
+    """A spec view whose ``build(u)`` closes over the kernel's const ref."""
+
+    def __init__(self, spec, build):
+        self._spec = spec
+        self.build = build
+
+    def __getattr__(self, name):
+        return getattr(self._spec, name)
+
+
+def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
+                    const=None, steps_per_cell: int | None = None,
+                    precision=_HIGH, schedule="constant", total_steps=1,
+                    decay=0.1):
+    """Run ``K = uniforms.shape[0]`` Adam steps of a DGM equation inside one
+    Pallas kernel. Same layout strategy as fused_engine."""
+    K, B, U = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+    R = _n_rows(spec.groups)
+    if steps_per_cell is None:
+        steps_per_cell = max(1, 25_600 // (R * B))
+    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
+
+    kernel = functools.partial(_dgm_kernel, spec, B, L, S, float(lrate),
+                               schedule, float(total_steps), float(decay),
+                               precision, const is not None)
+
+    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
+              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
+    state_specs = [
+        pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+    const_spec = ([pl.BlockSpec(const.shape,
+                                functools.partial(lambda r, i: (0,) * r,
+                                                  len(const.shape)),
+                                memory_space=pltpu.VMEM)]
+                  if const is not None else [])
+    const_arg = (const,) if const is not None else ()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(K // S,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=(
+            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + const_spec
+            + state_specs * 3
+        ),
+        out_specs=(
+            [pl.BlockSpec((K // S, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((K // S, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([step0], jnp.int32), uniforms, *const_arg,
+      *params, *m, *v)
+
+    losses = out[0][:, :S].reshape(-1)
+    n = _N_TENSORS
+    return tuple(out[1:1 + n]), tuple(out[1 + n:1 + 2 * n]), \
+        tuple(out[1 + 2 * n:1 + 3 * n]), losses
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+
+def train_dgm_fused_result(problem, key, iterations, batch_size=100,
+                           lrate=1e-4, chunk_size=25_000, model=None,
+                           params=None, opt_state=None, start_step: int = 0,
+                           steps_per_cell: int | None = None,
+                           precision: str = "highest",
+                           schedule: str | None = None, decay: float = 0.1,
+                           total_steps: int | None = None):
+    """Train a DGM-spec'd equation with the fused kernel. Same contract as
+    fused_engine.train_fused_result (TrainResult out, bit-identical resume
+    via params + opt_state + start_step)."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for equation {problem.name!r} "
+                         f"(fitzhugh_nagumo dgm arch | fredholm gauss)")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if precision == "mixed":
+        raise ValueError("the DGM engine supports precision='highest' or "
+                         "'default' (no mixed schedule yet)")
+    mxu_precision = _PRECISIONS[precision]
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if total_steps is None:
+        total_steps = start_step + iterations
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_dgm(params)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_dgm(opt_state["m"])
+        v = pack_dgm(opt_state["v"])
+
+    run = jax.jit(functools.partial(
+        fused_dgm_chunk, spec, model, lrate=lrate, const=const,
+        steps_per_cell=steps_per_cell, precision=mxu_precision,
+        schedule=schedule, total_steps=total_steps, decay=decay,
+    ))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    chunk = max(1, min(chunk_size, iterations))
+    t0 = time.perf_counter()
+    u0 = draw(start_step, chunk)
+    compiled = run.lower(flat, m, v, u0, start_step).compile()
+    compile_time = time.perf_counter() - t0
+
+    losses_out = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k = min(chunk, iterations - done)
+        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
+        step_fn = compiled if k == chunk else run
+        flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
+        losses_out.append(np.asarray(losses))
+        done += k
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_dgm(flat),
+        opt_state={"m": unpack_dgm(m), "v": unpack_dgm(v)},
+        loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )

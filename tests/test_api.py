@@ -81,6 +81,21 @@ def test_solve_fused_engine():
     assert np.isfinite(res.mae)
 
 
+def test_solve_fused_dgm_engine():
+    """The DGM equations route engine='fused' to kernels.fused_dgm (and the
+    FN auto-ensemble default must not bump them off the kernel path)."""
+    from differential_equations_dnn_tpu.api import solve
+
+    res = solve("fitzhugh_nagumo", engine="fused", iterations=60,
+                batch_size=16, lrate=1e-3, nodes=8, finetune=0)
+    assert res.loss_history.shape == (60,)
+    assert np.isfinite(res.mae)
+    res = solve("fredholm", engine="fused", iterations=60, batch_size=16,
+                lrate=1e-3, nodes=8, finetune=0, k=10)
+    assert res.loss_history.shape == (60,)
+    assert np.isfinite(res.mae)
+
+
 def test_solve_fused_engine_guards():
     from differential_equations_dnn_tpu.api import solve
     import pytest as _pytest

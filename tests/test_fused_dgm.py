@@ -1,0 +1,179 @@
+"""Fused DGM engine tests (interpret mode on CPU).
+
+Mirrors test_fused_engine: (1) the hand-derived stream VJP must match
+jax.grad of the SAME problem.loss at the same points; (2) the kernel must
+match a pure-jnp twin loop exactly; (3) short end-to-end training must
+converge; (4) resume is bit-identical."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations import PROBLEMS
+from differential_equations_dnn_tpu.kernels import fused_dgm as fd
+from differential_equations_dnn_tpu.kernels.fused_train import _adam_update
+from differential_equations_dnn_tpu.models import DGM
+
+
+def test_fn_step_math_matches_problem_loss_grad(key):
+    B = 12
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    spec = fd.spec_for(prob)
+    model = prob.default_model()
+    params = model.init(key)
+    flat = fd.pack_dgm(params)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (B, spec.n_uniform))
+
+    loss_e, grads_e = fd.dgm_step_math(spec, flat, u, B, model.num_layers)
+
+    batch = {"t": prob.t_max * u[:, :1], "t0": jnp.zeros((B, 1))}
+    loss_r, grads_r = jax.value_and_grad(
+        lambda p: prob.loss(model.apply, p, batch))(params)
+    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    for ge, gr in zip(grads_e, fd.pack_dgm(grads_r)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_fredholm_step_math_matches_problem_loss_grad(key):
+    B = 16
+    prob = PROBLEMS["fredholm"](k=20, quadrature="gauss")
+    spec = fd.spec_for(prob, batch_size=B)
+    assert spec.n_groups == 3  # 16-row groups for 20 nodes -> 2 node groups
+    model = prob.default_model()
+    params = model.init(key)
+    flat = fd.pack_dgm(params)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (B, spec.n_uniform))
+    const = fd._fredholm_const(prob, B, spec.n_groups)
+
+    bound = fd.spec_with_build(spec, lambda uu: spec.build(uu, const=const))
+    loss_e, grads_e = fd.dgm_step_math(bound, flat, u, B, model.num_layers)
+
+    from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
+
+    nodes, weights = gauss_legendre_nodes(prob.k, 0.0, prob.upper)
+    x = prob.upper * u[:, :1]
+    batch = {"x": x,
+             "tq": jnp.broadcast_to(nodes[None, :], (B, prob.k)),
+             "wq": jnp.broadcast_to(weights[None, :], (B, prob.k))}
+    loss_r, grads_r = jax.value_and_grad(
+        lambda p: prob.loss(model.apply, p, batch))(params)
+    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    for ge, gr in zip(grads_e, fd.pack_dgm(grads_r)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def _pure_twin(spec, model, flat, uniforms, lrate, const=None):
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    losses = []
+    if const is not None:
+        base = spec
+        spec = fd.spec_with_build(base, lambda u: base.build(u, const=const))
+    for i in range(uniforms.shape[0]):
+        loss, grads = fd.dgm_step_math(spec, flat, uniforms[i],
+                                       uniforms.shape[1], model.num_layers)
+        losses.append(float(loss))
+        new = []
+        for k in range(fd._N_TENSORS):
+            p, mm, vv = _adam_update(flat[k], m[k], v[k], grads[k],
+                                     lrate, float(i + 1))
+            new.append((p, mm, vv))
+        flat = tuple(n[0] for n in new)
+        m = tuple(n[1] for n in new)
+        v = tuple(n[2] for n in new)
+    return flat, np.array(losses)
+
+
+def test_kernel_matches_pure_loop(key):
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=2,
+                activation="tanh")
+    spec = fd.spec_for(prob)
+    flat = fd.pack_dgm(model.init(key))
+    K, B = 6, 8
+    uniforms = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (K, B, spec.n_uniform))
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    p_k, _, _, losses_k = fd.fused_dgm_chunk(
+        spec, model, flat, m, v, uniforms, 0, lrate=1e-3, steps_per_cell=3)
+    p_t, losses_t = _pure_twin(spec, model, flat, uniforms, 1e-3)
+    np.testing.assert_allclose(losses_k, losses_t, rtol=1e-5)
+    for a, b in zip(p_k, p_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fredholm_kernel_matches_pure_loop(key):
+    prob = PROBLEMS["fredholm"](k=10, quadrature="gauss")
+    model = prob.default_model()
+    B = 8
+    spec = fd.spec_for(prob, batch_size=B)
+    const = fd._fredholm_const(prob, B, spec.n_groups)
+    flat = fd.pack_dgm(model.init(key))
+    K = 4
+    uniforms = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (K, B, spec.n_uniform))
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    p_k, _, _, losses_k = fd.fused_dgm_chunk(
+        spec, model, flat, m, v, uniforms, 0, lrate=1e-3, const=const,
+        steps_per_cell=2)
+    p_t, losses_t = _pure_twin(spec, model, flat, uniforms, 1e-3, const=const)
+    np.testing.assert_allclose(losses_k, losses_t, rtol=1e-5)
+    for a, b in zip(p_k, p_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_fn_converges(key):
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    r = fd.train_dgm_fused_result(prob, key, 200, batch_size=16, lrate=1e-3,
+                                  model=model, chunk_size=200)
+    assert r.loss_history.shape == (200,)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    assert np.isfinite(prob.mae(model.apply, r.params, nodes=10))
+
+
+def test_train_fredholm_converges(key):
+    prob = PROBLEMS["fredholm"](k=10, quadrature="gauss")
+    model = prob.default_model()
+    r = fd.train_dgm_fused_result(prob, key, 200, batch_size=16, lrate=1e-3,
+                                  chunk_size=200)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    assert np.isfinite(prob.mae(model.apply, r.params, nodes=20))
+
+
+def test_resume_is_bit_identical(key):
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    full = fd.train_dgm_fused_result(prob, key, 8, batch_size=8, model=model,
+                                     chunk_size=8, steps_per_cell=2)
+    first = fd.train_dgm_fused_result(prob, key, 4, batch_size=8, model=model,
+                                      chunk_size=4, steps_per_cell=2,
+                                      total_steps=8)
+    second = fd.train_dgm_fused_result(prob, key, 4, batch_size=8,
+                                       model=model, params=first.params,
+                                       opt_state=first.opt_state,
+                                       start_step=4, chunk_size=4,
+                                       steps_per_cell=2, total_steps=8)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(second.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unsupported_configurations_rejected(key):
+    from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
+
+    assert fd.spec_for(Heat1D()) is None
+    assert fd.spec_for(Fredholm2(quadrature="montecarlo")) is None
+    assert not fd.supports(Heat1D())
+    with pytest.raises(ValueError):
+        fd.train_dgm_fused_result(Heat1D(), key, 4, batch_size=4)

@@ -456,7 +456,7 @@ def build_parser() -> argparse.ArgumentParser:
                            help="derivative-tap path; taylor = fused stacked "
                                 "streams (fastest, default), jvp = generic")
         if name in ("simple_ode", "heat", "burgers", "wave", "poisson",
-                    "heat2d", "fitzhugh_nagumo", "fredholm"):
+                    "heat2d", "fitzhugh_nagumo", "fredholm", "volterra"):
             p.add_argument("--engine", choices=["scan", "fused"],
                            default="scan",
                            help="training executor: scan = generic jitted "

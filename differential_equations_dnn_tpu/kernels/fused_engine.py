@@ -90,6 +90,10 @@ def _bias_mask(groups, B, dtype):
 
 def _act_fwd(groups, z, B):
     """tanh on value streams, Taylor rules on tangents (per group state)."""
+    if all(g.n_rows == 1 for g in groups):
+        # Value-only layout (e.g. volterra's 51 quadrature groups): plain
+        # tanh on every row — no per-group slicing.
+        return jnp.tanh(z)
     outs = []
     off = 0
     for g in groups:
@@ -121,6 +125,9 @@ def _act_bwd(groups, z, gr, B):
       dz2 = d·g2                          (pair seconds)
       dzf = d·gf                          (first-only tangents)
     """
+    if all(g.n_rows == 1 for g in groups):
+        a = jnp.tanh(z)
+        return (1.0 - a * a) * gr
     outs = []
     off = 0
     for g in groups:
@@ -398,6 +405,50 @@ class Heat2DSpec:
                         + jnp.square(b2) + jnp.square(b3) + jnp.square(b4))
 
 
+@dataclass(frozen=True)
+class VolterraSpec:
+    """Volterra II integral equation, rescaled Gauss–Legendre quadrature
+    (equations.volterra): value-only streams — the collocation batch plus
+    one group per quadrature node. The node positions are x·c_j with c_j a
+    COMPILE-TIME scalar (Gauss abscissa mapped to (0,1)), so the variable
+    integration limit needs no const operand: each group's inputs and the
+    loss weights are literal-scaled copies of x."""
+    p: object
+    n_uniform: int = 1
+
+    @property
+    def groups(self):
+        return tuple(Group() for _ in range(1 + self.p.k))
+
+    def _nodes(self):
+        # Host-side numpy (same leggauss rule as ops.gauss_legendre_nodes):
+        # the scalars must be Python floats even when build() is traced.
+        u, w = np.polynomial.legendre.leggauss(self.p.k)
+        cs = [(float(c) + 1.0) * 0.5 for c in u]
+        ws = [float(v) * 0.5 for v in w]
+        return cs, ws
+
+    def build(self, u):
+        x = self.p.upper * u[:, :1]
+        cs, _ = self._nodes()
+        X = jnp.concatenate([x] + [x * c for c in cs], 0)
+        return X, {"x": x}
+
+    def loss(self, outs, ctx):
+        x = ctx["x"]
+        yhat = outs[0]
+        cs, ws = self._nodes()
+        # ∫₀ˣ (t−x)·y(t) dt ≈ Σ_j (x·c_j − x)·y_j·(x·w_j)  [t_j = x·c_j]
+        #                   = x² · Σ_j (c_j−1)·w_j · y_j
+        # — the x² factors out of the sum, leaving one scalar-weighted
+        # accumulation per node (fusable VPU adds, no per-node x products).
+        acc = 0.0
+        for j, (c, w) in enumerate(zip(cs, ws)):
+            acc = acc + ((c - 1.0) * w) * outs[1 + j]
+        r = yhat - x - (x * x) * acc
+        return jnp.mean(jnp.square(r))
+
+
 SPECS = {
     "simple_ode": SimpleODESpec,
     "heat": HeatSpec,
@@ -405,6 +456,7 @@ SPECS = {
     "wave": WaveSpec,
     "poisson": PoissonSpec,
     "heat2d": Heat2DSpec,
+    "volterra": VolterraSpec,
 }
 
 
@@ -414,6 +466,10 @@ def spec_for(problem):
     if cls is None:
         return None
     if getattr(problem, "taps", "jvp") == "pallas":
+        return None
+    if problem.name == "volterra" and problem.quadrature != "gauss":
+        # The stochastic-quadrature mode draws fresh nodes per step; only
+        # the deterministic Gauss rule has compile-time node scalars.
         return None
     return cls(problem)
 
@@ -706,6 +762,81 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,
     )
+
+
+def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
+                         batch_size=64, lrate=1e-4, model=None,
+                         steps_per_cell: int | None = None,
+                         precision: str = "highest",
+                         schedule: str | None = None, decay: float = 0.1):
+    """Train ``n_replicas`` independently-initialised replicas, EACH inside
+    its own fused Mosaic kernel, sharded over ``mesh``'s 'pop' axis with
+    ``jax.shard_map`` (each chip runs the whole on-chip training loop for
+    its local replicas — zero cross-replica communication). The collocation
+    stream is shared across replicas: independent inits decorrelate them,
+    and sharing keeps the uniforms block replicated instead of × N.
+
+    Returns (stacked_params_pytree, losses [n_replicas, iterations]).
+    With ``mesh=None`` the replicas run sequentially on one device."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    mxu_precision = _PRECISIONS[precision]
+
+    init_key, run_key = jax.random.split(key)
+    stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
+    flat = pack_params(model, stacked)  # tuple of [n_replicas, ...] tensors
+
+    uniforms = jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(iterations))
+
+    def run_local(flat_local, u):
+        outs_p, losses = [], []
+        n_local = flat_local[0].shape[0]
+        for j in range(n_local):
+            p = tuple(t[j] for t in flat_local)
+            m = tuple(jnp.zeros_like(t) for t in p)
+            v = tuple(jnp.zeros_like(t) for t in p)
+            p, _, _, lo = fused_engine_chunk(
+                spec, model, p, m, v, u, 0, lrate=lrate,
+                steps_per_cell=steps_per_cell, precision=mxu_precision,
+                schedule=schedule, total_steps=iterations, decay=decay)
+            outs_p.append(p)
+            losses.append(lo)
+        return (tuple(jnp.stack([o[k] for o in outs_p])
+                      for k in range(_N_TENSORS)),
+                jnp.stack(losses))
+
+    if mesh is None:
+        flat_out, losses = jax.jit(run_local)(flat, uniforms)
+    else:
+        pop_axis = "pop"
+        n_shards = mesh.shape[pop_axis]
+        if n_replicas % n_shards:
+            raise ValueError(f"n_replicas {n_replicas} not divisible by "
+                             f"'{pop_axis}' mesh axis ({n_shards} shards)")
+        pspec = PartitionSpec(pop_axis)
+        flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
+                     for t in flat)
+        # check_vma=False: pallas_call's out_shape structs carry no varying
+        # -across-mesh annotation, which the vma checker (jax>=0.9) rejects.
+        shmap = jax.shard_map(
+            run_local, mesh=mesh,
+            in_specs=(tuple(pspec for _ in flat), PartitionSpec()),
+            out_specs=(tuple(pspec for _ in flat), pspec),
+            check_vma=False)
+        flat_out, losses = jax.jit(shmap)(flat, uniforms)
+
+    return unpack_params(model, flat_out), np.asarray(losses)
 
 
 def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,

@@ -28,6 +28,13 @@ def _batch_from_uniforms(prob, u, B):
     z = jnp.zeros((B, 1))
     if name == "simple_ode":
         return {"t": prob.sample_scale * prob.t_max * u[:, :1], "t0": z}
+    if name == "volterra":
+        from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
+
+        x = prob.upper * u[:, :1]
+        gu, gw = gauss_legendre_nodes(prob.k, -1.0, 1.0)
+        return {"x": x, "tq": x * (gu[None, :] + 1.0) * 0.5,
+                "wq": x * gw[None, :] * 0.5}
     xm = jnp.full((B, 1), prob.x_max)
     if name in ("heat", "burgers", "wave"):
         x = prob.x_max * u[:, :1]
@@ -182,6 +189,29 @@ def test_mixed_precision_schedule_matches_fp32_on_cpu(key, chunk):
     np.testing.assert_array_equal(mixed.loss_history, plain.loss_history)
     for a, b in zip(jax.tree.leaves(plain.params),
                     jax.tree.leaves(mixed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_ensemble_sharded_matches_single_device(key):
+    """N replicas × whole-training-loop-in-one-kernel, sharded over a 'pop'
+    mesh via shard_map, must produce bit-identical results to the
+    sequential single-device path (same inits, shared collocation
+    stream)."""
+    from differential_equations_dnn_tpu.parallel import make_mesh
+
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    params_seq, losses_seq = fe.train_fused_ensemble(
+        prob, key, 6, 4, mesh=None, batch_size=8, model=model,
+        steps_per_cell=3)
+    mesh = make_mesh({"pop": 2})
+    params_sh, losses_sh = fe.train_fused_ensemble(
+        prob, key, 6, 4, mesh=mesh, batch_size=8, model=model,
+        steps_per_cell=3)
+    assert losses_sh.shape == (4, 6)
+    np.testing.assert_array_equal(losses_sh, losses_seq)
+    for a, b in zip(jax.tree.leaves(params_sh), jax.tree.leaves(params_seq)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -49,13 +49,34 @@ def main(full: bool = False):
         if not ok:
             failures.append(name)
 
-    # Fused-kernel engine: the headline path must converge like the scan.
-    res = solve("heat", engine="fused", iterations=5000, seed=42)
-    ok = res.mae < 0.02
-    print(f"{'OK ' if ok else 'FAIL'} heat[fused]      mae={res.mae:.5f} "
-          f"(bound 0.02)  {res.iters_per_sec:.0f} it/s")
+    # Fused-kernel engines: every fused path must converge like the scan —
+    # the specialised heat kernel, a generic-MLP-engine spec (wave), and
+    # both DGM-engine specs (fredholm gauss / FN parity arch).
+    fused_cases = [
+        ("heat", {}, dict(iterations=5000), 0.02),
+        ("wave", {}, dict(iterations=5000), 0.05),
+        ("fredholm", {"quadrature": "gauss", "k": 16},
+         dict(iterations=2000, lrate=1e-3), 0.05),
+    ]
+    for name, pkw, reduced, bound in fused_cases:
+        kwargs = {} if full else dict(reduced)
+        res = solve(name, engine="fused", seed=42, **pkw, **kwargs)
+        ok = res.mae < bound
+        print(f"{'OK ' if ok else 'FAIL'} {name + '[fused]':<16s} "
+              f"mae={res.mae:.5f} (bound {bound})  "
+              f"{res.iters_per_sec:.0f} it/s")
+        if not ok:
+            failures.append(f"{name}_fused_engine")
+    # FN DGM fused: init-sensitive single-run — check the residual (physics
+    # loss) converges rather than the multi-stable MAE.
+    res = solve("fitzhugh_nagumo", engine="fused", iterations=20_000,
+                seed=42, finetune=0)
+    ok = res.loss_history[-1] < 0.01
+    print(f"{'OK ' if ok else 'FAIL'} fn[fused]        "
+          f"final_loss={res.loss_history[-1]:.5f} (bound 0.01)  "
+          f"{res.iters_per_sec:.0f} it/s")
     if not ok:
-        failures.append("heat_fused_engine")
+        failures.append("fn_fused_engine")
 
     # heat2d budget monotonicity (round-1 regression: constant lr made the
     # FULL 20k budget end WORSE than a short one; the cosine default must

@@ -558,10 +558,13 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
                            steps_per_cell: int | None = None,
                            precision: str = "highest",
                            schedule: str | None = None, decay: float = 0.1,
-                           total_steps: int | None = None):
+                           total_steps: int | None = None,
+                           mixed_split: float = 0.65):
     """Train a DGM-spec'd equation with the fused kernel. Same contract as
     fused_engine.train_fused_result (TrainResult out, bit-identical resume
-    via params + opt_state + start_step)."""
+    via params + opt_state + start_step). ``precision="mixed"`` chains a
+    bf16-MXU coarse phase into an exact-fp32 final phase through the
+    bit-exact resume path (same schedule as the MLP engines)."""
     import time
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
@@ -574,14 +577,38 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
     if not supports(problem, model, batch_size):
         raise ValueError(
             f"fused DGM engine needs a DGM model with {spec.act!r} gates")
-    if precision == "mixed":
-        raise ValueError("the DGM engine supports precision='highest' or "
-                         "'default' (no mixed schedule yet)")
-    mxu_precision = _PRECISIONS[precision]
     if schedule is None:
         schedule = problem.defaults.schedule
     if total_steps is None:
         total_steps = start_step + iterations
+    if precision == "mixed":
+        n1 = int(iterations * mixed_split)
+        n2 = iterations - n1
+        if n1 == 0 or n2 == 0:
+            precision = "highest"
+        else:
+            common = dict(batch_size=batch_size, lrate=lrate,
+                          chunk_size=chunk_size, model=model,
+                          steps_per_cell=steps_per_cell, schedule=schedule,
+                          decay=decay, total_steps=total_steps)
+            coarse = train_dgm_fused_result(
+                problem, key, n1, params=params, opt_state=opt_state,
+                start_step=start_step, precision="default", **common)
+            fine = train_dgm_fused_result(
+                problem, key, n2, params=coarse.params,
+                opt_state=coarse.opt_state, start_step=start_step + n1,
+                precision="highest", **common)
+            wall = coarse.wall_time + fine.wall_time
+            return TrainResult(
+                params=fine.params,
+                opt_state=fine.opt_state,
+                loss_history=np.concatenate([coarse.loss_history,
+                                             fine.loss_history]),
+                wall_time=wall,
+                iters_per_sec=iterations / wall if wall else float("inf"),
+                compile_time=coarse.compile_time + fine.compile_time,
+            )
+    mxu_precision = _PRECISIONS[precision]
 
     const = None
     if isinstance(spec, FredholmDGMSpec):

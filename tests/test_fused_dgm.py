@@ -169,6 +169,25 @@ def test_resume_is_bit_identical(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mixed_precision_schedule_matches_fp32_on_cpu(key):
+    """In interpret mode fp32 DEFAULT == HIGHEST, so the mixed schedule's
+    phase chaining must reproduce the plain run bit-for-bit."""
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    plain = fd.train_dgm_fused_result(prob, key, 10, batch_size=8,
+                                      model=model, chunk_size=10,
+                                      steps_per_cell=2)
+    mixed = fd.train_dgm_fused_result(prob, key, 10, batch_size=8,
+                                      model=model, chunk_size=10,
+                                      steps_per_cell=2, precision="mixed")
+    assert mixed.loss_history.shape == (10,)
+    np.testing.assert_array_equal(mixed.loss_history, plain.loss_history)
+    for a, b in zip(jax.tree.leaves(plain.params),
+                    jax.tree.leaves(mixed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unsupported_configurations_rejected(key):
     from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
 

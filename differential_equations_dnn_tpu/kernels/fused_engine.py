@@ -491,8 +491,8 @@ def _largest_divisor_leq(K, cap):
     return best
 
 
-def _engine_kernel(spec, B, L, S, T, lr, schedule, total, decay, precision,
-                   step0_ref, u_ref, *refs):
+def _engine_kernel(spec, B, L, S, T, schedule, total, decay, precision,
+                   step0_ref, lr_ref, u_ref, *refs):
     p_in = refs[0:6]
     m_in = refs[6:12]
     v_in = refs[12:18]
@@ -531,6 +531,9 @@ def _engine_kernel(spec, B, L, S, T, lr, schedule, total, decay, precision,
         step = i * S + s
 
         t = (step0_ref[0] + step + 1).astype(jnp.float32)
+        # Base lr is a RUNTIME scalar (SMEM): sweeping the learning rate
+        # reuses one compiled kernel instead of recompiling per trial.
+        lr = lr_ref[0]
         # Per-step learning rate (matches train.trainer's optax schedules:
         # cosine_decay_schedule / exponential_decay with end value lr·decay).
         if schedule == "cosine":
@@ -582,7 +585,7 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     T = B // batch_tile
 
     kernel = functools.partial(_engine_kernel, spec, B, L, S, T,
-                               float(lrate), schedule, float(total_steps),
+                               schedule, float(total_steps),
                                float(decay), precision)
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
@@ -602,7 +605,8 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=(
-            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
             + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)]
             + state_specs * 3
@@ -617,7 +621,8 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
         ),
         interpret=_interpret(),
-    )(jnp.asarray([step0], jnp.int32), uniforms, *params, *m, *v)
+    )(jnp.asarray([step0], jnp.int32),
+      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *params, *m, *v)
 
     losses = out[0][:, :S].reshape(-1)
     return tuple(out[1:7]), tuple(out[7:13]), tuple(out[13:19]), losses
@@ -762,6 +767,62 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,
     )
+
+
+def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
+             steps_per_cell: int | None = None, precision: str = "highest",
+             schedule: str | None = None, decay: float = 0.1):
+    """Full-budget learning-rate sweep on ONE compiled fused kernel.
+
+    The base lr is a runtime SMEM scalar in the kernel, so every trial
+    reuses the same executable — a sweep of N lrates costs one compile +
+    N kernel dispatches at full training speed (vs. the vmapped population
+    path, which trains all trials concurrently but at reduced per-trial
+    throughput, or a recompile per trial if lr were baked in).
+
+    Each trial gets an independent init (``fold_in`` by trial index); the
+    collocation stream is shared. Returns (final_losses [N],
+    stacked_params) — rank trials by final loss, or re-evaluate MAE on the
+    winner."""
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    mxu_precision = _PRECISIONS[precision]
+
+    init_key, run_key = jax.random.split(key)
+    uniforms = jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(iterations))
+
+    def run(flat, m, v, u, lrate):
+        return fused_engine_chunk(
+            spec, model, flat, m, v, u, 0, lrate=lrate,
+            steps_per_cell=steps_per_cell, precision=mxu_precision,
+            schedule=schedule, total_steps=iterations, decay=decay)
+
+    jinit = jax.jit(model.init)
+    flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
+    zeros = tuple(jnp.zeros_like(p) for p in flat0)
+    compiled = jax.jit(run).lower(
+        flat0, zeros, zeros, uniforms, jnp.float32(0.0)).compile()
+
+    outs, finals = [], []
+    for t, lr in enumerate(np.asarray(lrates)):
+        flat = (flat0 if t == 0 else
+                pack_params(model, jinit(jax.random.fold_in(init_key, t))))
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                   jnp.float32(lr))
+        outs.append(p)
+        finals.append(float(losses[-1]))
+    stacked = tuple(jnp.stack([o[k] for o in outs])
+                    for k in range(_N_TENSORS))
+    return np.asarray(finals), unpack_params(model, stacked)
 
 
 def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,

@@ -192,6 +192,21 @@ def test_mixed_precision_schedule_matches_fp32_on_cpu(key, chunk):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_lr_sweep_one_compile_many_lrates(key):
+    """The base lr is a runtime SMEM scalar: an AOT-compiled kernel serves
+    every trial (different lrates through the SAME executable must change
+    the trajectory)."""
+    prob = PROBLEMS["simple_ode"]()
+    model = MLP(input_dim=1, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    finals, stacked = fe.lr_sweep(prob, key, [1e-4, 1e-2], 12,
+                                  batch_size=8, model=model,
+                                  steps_per_cell=3)
+    assert finals.shape == (2,)
+    assert finals[0] != finals[1]
+    assert jax.tree.leaves(stacked)[0].shape[0] == 2
+
+
 def test_fused_ensemble_sharded_matches_single_device(key):
     """N replicas × whole-training-loop-in-one-kernel, sharded over a 'pop'
     mesh via shard_map, must produce bit-identical results to the

@@ -348,6 +348,7 @@ def _cmd_sweep(args):
         successive_halving,
         tpe_halving,
         tpe_search,
+        tpe_search_fused,
     )
 
     problem = PROBLEMS[args.equation]()
@@ -374,6 +375,13 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             mesh=mesh, seed=args.seed,
+        )
+    elif args.scheduler == "tpe-fused":
+        if args.mesh:
+            raise SystemExit("--scheduler tpe-fused is single-chip")
+        result = tpe_search_fused(
+            problem, key, num_samples=args.num_samples,
+            max_iters=args.max_iters, seed=args.seed,
         )
     else:
         result = random_search(
@@ -499,13 +507,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=512)
     p.add_argument("--scheduler",
-                   choices=["random", "asha", "tpe", "tpe-asha"],
+                   choices=["random", "asha", "tpe", "tpe-asha", "tpe-fused"],
                    default="random",
                    help="random = pure sampling; asha = successive halving; "
                         "tpe = adaptive model-based (the reference's "
                         "OptunaSearch role, optimize_heat_ray.py:179); "
                         "tpe-asha = both composed (the reference's full "
-                        "scheduler pairing)")
+                        "scheduler pairing); tpe-fused = TPE over the lr "
+                        "with every trial trained to the FULL budget inside "
+                        "the fused Pallas kernel (one compile, ~0.22 s per "
+                        "full-budget trial; fused-spec equations only)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
     p.add_argument("--results-dir", type=str, default="temp_results")

@@ -769,21 +769,17 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     )
 
 
-def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
-             steps_per_cell: int | None = None, precision: str = "highest",
-             schedule: str | None = None, decay: float = 0.1):
-    """Full-budget learning-rate sweep on ONE compiled fused kernel.
-
-    The base lr is a runtime SMEM scalar in the kernel, so every trial
-    reuses the same executable — a sweep of N lrates costs one compile +
-    N kernel dispatches at full training speed (vs. the vmapped population
-    path, which trains all trials concurrently but at reduced per-trial
-    throughput, or a recompile per trial if lr were baked in).
-
-    Each trial gets an independent init (``fold_in`` by trial index); the
-    collocation stream is shared. Returns (final_losses [N],
-    stacked_params) — rank trials by final loss, or re-evaluate MAE on the
-    winner."""
+def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
+                      steps_per_cell: int | None = None,
+                      precision: str = "highest",
+                      schedule: str | None = None, decay: float = 0.1):
+    """Compile ONE fused-kernel executable whose base lr is a runtime SMEM
+    scalar, and return ``eval_fn(trial_index, lrate) -> (final_loss,
+    flat_params)``: every call trains a freshly-initialised net for the
+    FULL ``iterations`` budget at that lr through the same executable
+    (measured ~0.22 s per 15k-iteration heat trial — init 0.04 + run 0.14
+    + pull 0.04). The collocation stream is shared across trials; the
+    init is keyed by ``trial_index``."""
     spec = spec_for(problem)
     if spec is None:
         raise ValueError(f"no fused-engine spec for {problem.name!r}")
@@ -812,14 +808,42 @@ def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
     compiled = jax.jit(run).lower(
         flat0, zeros, zeros, uniforms, jnp.float32(0.0)).compile()
 
+    def eval_fn(trial_index: int, lrate: float):
+        flat = pack_params(model, jinit(jax.random.fold_in(init_key,
+                                                           trial_index)))
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                   jnp.float32(lrate))
+        return float(losses[-1]), p
+
+    return eval_fn
+
+
+def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
+             steps_per_cell: int | None = None, precision: str = "highest",
+             schedule: str | None = None, decay: float = 0.1):
+    """Full-budget learning-rate sweep on ONE compiled fused kernel.
+
+    The base lr is a runtime SMEM scalar in the kernel, so every trial
+    reuses the same executable — a sweep of N lrates costs one compile +
+    N kernel dispatches at full training speed (vs. the vmapped population
+    path, which trains all trials concurrently but at reduced per-trial
+    throughput, or a recompile per trial if lr were baked in).
+
+    Each trial gets an independent init (``fold_in`` by trial index); the
+    collocation stream is shared. Returns (final_losses [N],
+    stacked_params) — rank trials by final loss, or re-evaluate MAE on the
+    winner."""
+    model = model or problem.default_model()
+    eval_fn = make_lr_evaluator(problem, key, iterations,
+                                batch_size=batch_size, model=model,
+                                steps_per_cell=steps_per_cell,
+                                precision=precision, schedule=schedule,
+                                decay=decay)
     outs, finals = [], []
     for t, lr in enumerate(np.asarray(lrates)):
-        flat = (flat0 if t == 0 else
-                pack_params(model, jinit(jax.random.fold_in(init_key, t))))
-        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
-                                   jnp.float32(lr))
+        loss, p = eval_fn(t, float(lr))
         outs.append(p)
-        finals.append(float(losses[-1]))
+        finals.append(loss)
     stacked = tuple(jnp.stack([o[k] for o in outs])
                     for k in range(_N_TENSORS))
     return np.asarray(finals), unpack_params(model, stacked)

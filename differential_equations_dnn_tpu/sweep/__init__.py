@@ -19,6 +19,7 @@ from differential_equations_dnn_tpu.sweep.search import (
     successive_halving,
     tpe_halving,
     tpe_search,
+    tpe_search_fused,
     SweepResult,
 )
 from differential_equations_dnn_tpu.sweep.tpe import TPESampler
@@ -37,6 +38,7 @@ __all__ = [
     "successive_halving",
     "tpe_halving",
     "tpe_search",
+    "tpe_search_fused",
     "TPESampler",
     "SweepResult",
     "batch_size_effect",

@@ -140,6 +140,31 @@ def test_tpe_search_end_to_end(key):
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
 
+def test_tpe_search_fused_end_to_end(key):
+    """TPE proposals evaluated at full budget inside the fused kernel
+    (interpret mode), one compiled executable across all trials."""
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = SimpleODE()
+    result = tpe_search_fused(prob, key, num_samples=5, max_iters=60,
+                              batch_size=8)
+    assert len(result.configs) == 5
+    assert np.isfinite(result.best_score)
+    assert result.best_config["n_iters"] == 60
+    best = result.best_params()
+    single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+
+def test_tpe_search_fused_rejects_non_lr_space(key):
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    space = SearchSpace({"lrate": loguniform(1e-5, 1e-2),
+                         "batch_size": randint(8, 32)})
+    with pytest.raises(ValueError, match="learning rate only"):
+        tpe_search_fused(SimpleODE(), key, num_samples=2, space=space)
+
+
 def test_batch_size_effect_tiny(key):
     res = batch_size_effect(key=key, batch_sizes=[4, 16], runs=2,
                             iterations=60, chunk_size=60)

@@ -151,17 +151,78 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     if ensemble is None or finetune is None:
         auto_ens, auto_ft = _auto_defaults(problem, model)
         if ensemble is None:
-            # The fused engines are single-run by design; an auto-ensemble
-            # default must not force them off the kernel path.
-            ensemble = 0 if engine == "fused" else auto_ens
+            ensemble = auto_ens
         if finetune is None:
             finetune = auto_ft
     model = model or problem.default_model()
 
-    if engine == "fused" and ensemble > 1:
-        raise ValueError("engine='fused' is single-chip, single-run")
+    if engine == "fused" and ensemble > 1 and mesh is not None:
+        raise ValueError("engine='fused' ensembles are single-chip "
+                         "(drop mesh, or use the scan engine)")
     state = None
-    if ensemble > 1:
+    if ensemble > 1 and engine == "fused":
+        # Fused-kernel ensemble: ONE AOT-compiled executable, one dispatch
+        # per replica (independent inits keyed by replica index, shared
+        # collocation stream) — kernel-speed multi-start for the
+        # init-sensitive architectures.
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from differential_equations_dnn_tpu.kernels import fused_dgm
+
+        t0 = _time.perf_counter()
+        if fused_dgm.supports(problem, model, config.batch_size):
+            eval_fn = fused_dgm.make_trial_evaluator(
+                problem, jax.random.key(seed), config.iterations,
+                batch_size=config.batch_size, lrate=config.lrate,
+                model=model, precision=precision, schedule=config.schedule)
+            unpack = fused_dgm.unpack_dgm
+        else:
+            from differential_equations_dnn_tpu.kernels import fused_engine
+
+            _ev = fused_engine.make_lr_evaluator(
+                problem, jax.random.key(seed), config.iterations,
+                batch_size=config.batch_size, model=model,
+                precision=precision, schedule=config.schedule)
+            eval_fn = lambda t: _ev(t, config.lrate)
+            unpack = lambda fl: fused_engine.unpack_params(model, fl)
+        compile_time = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        hists, outs = [], []
+        for t in range(ensemble):
+            lo, flat = eval_fn(t)
+            hists.append(lo)
+            outs.append(flat)
+        run_time = _time.perf_counter() - t0
+        stacked = unpack(tuple(jnp.stack([o[k] for o in outs])
+                               for k in range(len(outs[0]))))
+        losses = np.stack(hists, axis=1)
+        timings = {"compile_time": compile_time, "run_time": run_time}
+        stacked_state = None
+        val_batch = problem.validation_sample(jax.random.key(seed + 1), 4096)
+
+        def trial_loss(p, s):
+            apply_fn = model.apply if s is None else train_apply(model, s)
+            return problem.loss(apply_fn, p, val_batch)
+
+        val_losses = np.asarray(
+            jax.jit(jax.vmap(lambda p: trial_loss(p, None)))(stacked))
+        pick = int(np.argmin(np.where(np.isfinite(val_losses), val_losses,
+                                      np.inf)))
+        if finetune:
+            pick, params, ft_losses = _polish_and_select(
+                problem, model, stacked, val_losses, seed, finetune)
+            loss_history = np.concatenate([losses[:, pick], ft_losses])
+            finetune = 0
+        else:
+            params = jax.tree.map(lambda a: a[pick], stacked)
+            loss_history = losses[:, pick]
+        wall_time = timings["run_time"]
+        compile_time = timings["compile_time"]
+        iters_per_sec = (ensemble * config.iterations / wall_time
+                         if wall_time else 0.0)
+    elif ensemble > 1:
         import jax.numpy as jnp
 
         from differential_equations_dnn_tpu.parallel import (

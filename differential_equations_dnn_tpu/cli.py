@@ -238,7 +238,9 @@ def _solve_ensemble(problem, args):
     res = api_solve(problem, iterations=args.niters,
                     batch_size=args.batch_size, lrate=args.lrate,
                     nodes=args.nnodes, seed=args.seed, ensemble=args.ensemble,
-                    finetune=getattr(args, "finetune", 0))
+                    finetune=getattr(args, "finetune", 0),
+                    engine=getattr(args, "engine", "scan"),
+                    precision=getattr(args, "precision", "highest"))
     sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
     save_array(sol_name, res.solution, directory=args.results_dir)
     save_array(loss_name, res.loss_history, directory=args.results_dir)
@@ -324,10 +326,7 @@ def _cmd_equation(name, args):
 
     auto_ens, auto_ft = _auto_defaults(problem, None)
     if getattr(args, "ensemble", None) is None:
-        # The fused engines are single-run by design: the auto-ensemble
-        # default must not silently bump them off the kernel path.
-        args.ensemble = 0 if getattr(args, "engine", "scan") == "fused" \
-            else auto_ens
+        args.ensemble = auto_ens
         if args.ensemble:
             print(f"[{name}] arch=dgm is init-sensitive: defaulting to "
                   f"--ensemble {args.ensemble} (pass --ensemble 1 to force "

@@ -552,6 +552,58 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
 # ---------------------------------------------------------------------------
 
 
+def make_trial_evaluator(problem, key, iterations, batch_size=100,
+                         lrate=1e-4, model=None,
+                         steps_per_cell: int | None = None,
+                         precision: str = "highest",
+                         schedule: str | None = None, decay: float = 0.1):
+    """Compile ONE fused DGM executable and return
+    ``eval_fn(trial_index) -> (losses [K], flat_params)``: every call
+    trains a freshly-initialised net (init keyed by ``trial_index``) for
+    the full budget through the same executable — the ensemble/multi-start
+    counterpart of fused_engine.make_lr_evaluator. The collocation stream
+    is shared across trials."""
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    mxu_precision = _PRECISIONS["highest" if precision == "mixed"
+                                else precision]
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = jax.random.split(key)
+    uniforms = jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(iterations))
+
+    def run(flat, m, v, u):
+        return fused_dgm_chunk(
+            spec, model, flat, m, v, u, 0, lrate=lrate, const=const,
+            steps_per_cell=steps_per_cell, precision=mxu_precision,
+            schedule=schedule, total_steps=iterations, decay=decay)
+
+    jinit = jax.jit(model.init)
+    flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
+    zeros = tuple(jnp.zeros_like(p) for p in flat0)
+    compiled = jax.jit(run).lower(flat0, zeros, zeros, uniforms).compile()
+
+    def eval_fn(trial_index: int):
+        flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms)
+        return np.asarray(losses), p
+
+    return eval_fn
+
+
 def train_dgm_fused_result(problem, key, iterations, batch_size=100,
                            lrate=1e-4, chunk_size=25_000, model=None,
                            params=None, opt_state=None, start_step: int = 0,

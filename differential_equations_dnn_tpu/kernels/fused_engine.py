@@ -774,7 +774,7 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
                       precision: str = "highest",
                       schedule: str | None = None, decay: float = 0.1):
     """Compile ONE fused-kernel executable whose base lr is a runtime SMEM
-    scalar, and return ``eval_fn(trial_index, lrate) -> (final_loss,
+    scalar, and return ``eval_fn(trial_index, lrate) -> (losses [K],
     flat_params)``: every call trains a freshly-initialised net for the
     FULL ``iterations`` budget at that lr through the same executable
     (measured ~0.22 s per 15k-iteration heat trial — init 0.04 + run 0.14
@@ -813,7 +813,7 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
                                                            trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
                                    jnp.float32(lrate))
-        return float(losses[-1]), p
+        return np.asarray(losses), p
 
     return eval_fn
 
@@ -841,9 +841,9 @@ def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
                                 decay=decay)
     outs, finals = [], []
     for t, lr in enumerate(np.asarray(lrates)):
-        loss, p = eval_fn(t, float(lr))
+        losses, p = eval_fn(t, float(lr))
         outs.append(p)
-        finals.append(loss)
+        finals.append(float(losses[-1]))
     stacked = tuple(jnp.stack([o[k] for o in outs])
                     for k in range(_N_TENSORS))
     return np.asarray(finals), unpack_params(model, stacked)

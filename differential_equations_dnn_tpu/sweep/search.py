@@ -377,7 +377,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     for t in range(num_samples):
         config = sampler.ask(1)[0]
         lr = float(config["lrate"])
-        loss, flat = eval_fn(t, lr)
+        trial_losses, flat = eval_fn(t, lr)
+        loss = float(trial_losses[-1])
         resolved = {"lrate": lr, "n_iters": budget, "batch_size": bs}
         sampler.tell([resolved], [loss])
         configs.append(resolved)

@@ -98,9 +98,27 @@ def test_solve_fused_dgm_engine():
 
 def test_solve_fused_engine_guards():
     from differential_equations_dnn_tpu.api import solve
+    from differential_equations_dnn_tpu.parallel import make_mesh
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="single-run"):
-        solve("heat", engine="fused", ensemble=4, iterations=10)
+    with _pytest.raises(ValueError, match="single-chip"):
+        solve("heat", engine="fused", ensemble=4, iterations=10,
+              mesh=make_mesh({"data": 2}))
     with _pytest.raises(ValueError, match="unknown engine"):
         solve("heat", engine="warp", iterations=10)
+
+
+def test_solve_fused_ensemble():
+    """ensemble=N on the fused engine: one AOT executable, one dispatch per
+    replica, off-grid validation selection — both the MLP-engine and the
+    DGM-engine routes."""
+    from differential_equations_dnn_tpu.api import solve
+
+    res = solve("wave", engine="fused", ensemble=2, iterations=40,
+                batch_size=8, nodes=8, finetune=0)
+    assert res.loss_history.shape == (40,)
+    assert np.isfinite(res.mae)
+    res = solve("fitzhugh_nagumo", engine="fused", ensemble=2, iterations=40,
+                batch_size=8, nodes=8, finetune=0)
+    assert res.loss_history.shape == (40,)
+    assert np.isfinite(res.mae)

@@ -103,9 +103,13 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     "fitzhugh_nagumo", "uat") or a Problem instance. Unset hyperparameters
     default to the reference's published configuration for that equation.
 
-    ``ensemble=N`` trains N independently-initialised replicas as ONE vmapped
-    population (shardable over a 'pop' mesh axis) and returns the replica
-    with the lowest off-grid validation residual. ``finetune=N`` polishes
+    ``ensemble=N`` trains N independently-initialised replicas — as ONE
+    vmapped population on the scan engine (shardable over a 'pop' mesh
+    axis), or as N dispatches of ONE AOT-compiled Mosaic kernel on the
+    fused engine (compiles in seconds vs. minutes for a wide vmapped
+    program; measured 286 s vs 1128 s end-to-end for the robust FN solve)
+    — and returns the replica with the lowest off-grid validation
+    residual. ``finetune=N`` polishes
     with N full-batch L-BFGS steps. Both default to ``None`` = automatic:
     the init-sensitive FitzHugh–Nagumo DGM architecture gets ensemble 16 +
     finetune 200 with top-3 post-polish selection (beats the reference on

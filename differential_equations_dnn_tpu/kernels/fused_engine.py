@@ -573,9 +573,11 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     # Largest divisor of K within the budget (lane-packed loss rows hold
     # ≤128 steps per grid cell).
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
-    # Tile cap scaled from heat's measured 256-row (7-stream) VMEM ceiling;
-    # halve until it divides the batch.
-    cap = max(64, (256 * 7) // R)
+    # Tile cap: keep R·tile ≤ ~3.6k rows — sized for the 64 MiB VMEM grant
+    # (measured: poisson R=9 and heat2d R=12 run full-batch-256 tiles at
+    # +20-25% over split tiles; the old 16 MiB-era cap of 256·7/R rows
+    # forced T=2 on both). Halve until it divides the batch.
+    cap = max(64, (512 * 7) // R)
     if batch_tile is None:
         batch_tile = B
         while batch_tile > cap and batch_tile % 2 == 0:

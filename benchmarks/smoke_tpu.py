@@ -68,9 +68,11 @@ def main(full: bool = False):
         if not ok:
             failures.append(f"{name}_fused_engine")
     # FN DGM fused: init-sensitive single-run — check the residual (physics
-    # loss) converges rather than the multi-stable MAE.
+    # loss) converges rather than the multi-stable MAE. ensemble=1 forces
+    # the single-run path (the FN auto-default would otherwise train 16
+    # replicas and mask a single-run convergence regression).
     res = solve("fitzhugh_nagumo", engine="fused", iterations=20_000,
-                seed=42, finetune=0)
+                seed=42, finetune=0, ensemble=1)
     ok = res.loss_history[-1] < 0.01
     print(f"{'OK ' if ok else 'FAIL'} fn[fused]        "
           f"final_loss={res.loss_history[-1]:.5f} (bound 0.01)  "

@@ -198,34 +198,11 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             lo, flat = eval_fn(t)
             hists.append(lo)
             outs.append(flat)
-        run_time = _time.perf_counter() - t0
+        wall_time = _time.perf_counter() - t0
         stacked = unpack(tuple(jnp.stack([o[k] for o in outs])
                                for k in range(len(outs[0]))))
         losses = np.stack(hists, axis=1)
-        timings = {"compile_time": compile_time, "run_time": run_time}
         stacked_state = None
-        val_batch = problem.validation_sample(jax.random.key(seed + 1), 4096)
-
-        def trial_loss(p, s):
-            apply_fn = model.apply if s is None else train_apply(model, s)
-            return problem.loss(apply_fn, p, val_batch)
-
-        val_losses = np.asarray(
-            jax.jit(jax.vmap(lambda p: trial_loss(p, None)))(stacked))
-        pick = int(np.argmin(np.where(np.isfinite(val_losses), val_losses,
-                                      np.inf)))
-        if finetune:
-            pick, params, ft_losses = _polish_and_select(
-                problem, model, stacked, val_losses, seed, finetune)
-            loss_history = np.concatenate([losses[:, pick], ft_losses])
-            finetune = 0
-        else:
-            params = jax.tree.map(lambda a: a[pick], stacked)
-            loss_history = losses[:, pick]
-        wall_time = timings["run_time"]
-        compile_time = timings["compile_time"]
-        iters_per_sec = (ensemble * config.iterations / wall_time
-                         if wall_time else 0.0)
     elif ensemble > 1:
         import jax.numpy as jnp
 
@@ -247,6 +224,9 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         # physics, no ground truth): grid-trained trials can zero the loss
         # on their collocation grid while oscillating between grid points.
         stacked_state = timings.get("state")
+        wall_time = timings["run_time"]
+        compile_time = timings["compile_time"]
+    if ensemble > 1:
         val_batch = problem.validation_sample(jax.random.key(seed + 1), 4096)
 
         def trial_loss(p, s):
@@ -258,7 +238,8 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         else:
             val_losses = jax.jit(jax.vmap(trial_loss))(stacked, stacked_state)
         val_losses = np.asarray(val_losses)
-        pick = int(np.argmin(val_losses))
+        pick = int(np.argmin(np.where(np.isfinite(val_losses), val_losses,
+                                      np.inf)))
         if finetune and stacked_state is None:
             # Polish the top-3 candidates and select POST-polish: which
             # replica polishes best depends on the polish batch, so deciding
@@ -273,15 +254,15 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             loss_history = losses[:, pick]
         if stacked_state is not None:
             state = jax.tree.map(lambda a: a[pick], stacked_state)
-        # Steady-state throughput: compilation is timed separately inside
-        # train_population (same split as the single-run path).
-        wall_time = timings["run_time"]
-        compile_time = timings["compile_time"]
+        # Steady-state ENSEMBLE throughput: population steps per second —
+        # the N replicas advance together per counted step on BOTH engines
+        # (vmapped concurrently on scan, sequential kernel dispatches on
+        # fused), so the two engines' numbers are directly comparable.
         iters_per_sec = config.iterations / wall_time if wall_time else 0.0
     else:
         if engine == "fused":
-            if ensemble > 1 or mesh is not None:
-                raise ValueError("engine='fused' is single-chip, single-run")
+            if mesh is not None:
+                raise ValueError("engine='fused' is single-chip")
             from differential_equations_dnn_tpu.kernels import fused_dgm
 
             if problem.name == "heat":

@@ -572,8 +572,6 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
             f"fused DGM engine needs a DGM model with {spec.act!r} gates")
     if schedule is None:
         schedule = problem.defaults.schedule
-    mxu_precision = _PRECISIONS["highest" if precision == "mixed"
-                                else precision]
 
     const = None
     if isinstance(spec, FredholmDGMSpec):
@@ -585,11 +583,25 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
                                      (batch_size, spec.n_uniform))
     )(jnp.arange(iterations))
 
+    common = dict(lrate=lrate, const=const, steps_per_cell=steps_per_cell,
+                  schedule=schedule, total_steps=iterations, decay=decay)
+    n1 = int(iterations * 0.65) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+
     def run(flat, m, v, u):
+        if precision == "mixed":
+            # bf16 coarse phase + exact-fp32 final phase in ONE program.
+            flat, m, v, l1 = fused_dgm_chunk(
+                spec, model, flat, m, v, u[:n1], 0,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            flat, m, v, l2 = fused_dgm_chunk(
+                spec, model, flat, m, v, u[n1:], n1,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return flat, m, v, jnp.concatenate([l1, l2])
         return fused_dgm_chunk(
-            spec, model, flat, m, v, u, 0, lrate=lrate, const=const,
-            steps_per_cell=steps_per_cell, precision=mxu_precision,
-            schedule=schedule, total_steps=iterations, decay=decay)
+            spec, model, flat, m, v, u, 0,
+            precision=_PRECISIONS[precision], **common)
 
     jinit = jax.jit(model.init)
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
@@ -638,7 +650,9 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
         n2 = iterations - n1
         if n1 == 0 or n2 == 0:
             precision = "highest"
-        else:
+        elif iterations > chunk_size:
+            # Chunked budgets: two internally-chunked phases chained
+            # through the bit-exact resume path.
             common = dict(batch_size=batch_size, lrate=lrate,
                           chunk_size=chunk_size, model=model,
                           steps_per_cell=steps_per_cell, schedule=schedule,
@@ -660,6 +674,15 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
                 iters_per_sec=iterations / wall if wall else float("inf"),
                 compile_time=coarse.compile_time + fine.compile_time,
             )
+        else:
+            # Whole budget fits one chunk: chain BOTH phases inside one
+            # XLA dispatch (each extra dispatch over the remote tunnel
+            # costs tens of ms and risks a fresh compile transient).
+            return _train_dgm_mixed_single_dispatch(
+                problem, spec, key, iterations, n1, start_step, params,
+                opt_state, batch_size=batch_size, lrate=lrate, model=model,
+                steps_per_cell=steps_per_cell, schedule=schedule,
+                decay=decay, total_steps=total_steps)
     mxu_precision = _PRECISIONS[precision]
 
     const = None
@@ -712,6 +735,75 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
         params=unpack_dgm(flat),
         opt_state={"m": unpack_dgm(m), "v": unpack_dgm(v)},
         loss_history=np.concatenate(losses_out),
+        wall_time=wall,
+        iters_per_sec=iterations / wall if wall else float("inf"),
+        compile_time=compile_time,
+    )
+
+
+def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
+                                     start_step, params, opt_state, *,
+                                     batch_size, lrate, model,
+                                     steps_per_cell, schedule, decay,
+                                     total_steps):
+    """The ``precision="mixed"`` schedule as ONE XLA program for the DGM
+    engine (mirrors fused_engine._train_mixed_single_dispatch): the
+    bf16-MXU kernel runs the first ``n1`` steps and hands params + Adam
+    moments to the exact-fp32 kernel inside the same dispatch."""
+    import time
+
+    from differential_equations_dnn_tpu.train.trainer import TrainResult
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = jax.random.split(key)
+    if params is None:
+        params = model.init(init_key)
+    flat = pack_dgm(params)
+    if opt_state is None:
+        m = tuple(jnp.zeros_like(p) for p in flat)
+        v = tuple(jnp.zeros_like(p) for p in flat)
+    else:
+        m = pack_dgm(opt_state["m"])
+        v = pack_dgm(opt_state["v"])
+
+    n2 = iterations - n1
+    common = dict(lrate=lrate, const=const, steps_per_cell=steps_per_cell,
+                  schedule=schedule, total_steps=total_steps, decay=decay)
+
+    @jax.jit
+    def run(flat, m, v, u1, u2, step0):
+        flat, m, v, l1 = fused_dgm_chunk(
+            spec, model, flat, m, v, u1, step0,
+            precision=jax.lax.Precision.DEFAULT, **common)
+        flat, m, v, l2 = fused_dgm_chunk(
+            spec, model, flat, m, v, u2, step0 + n1,
+            precision=jax.lax.Precision.HIGHEST, **common)
+        return flat, m, v, jnp.concatenate([l1, l2])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    t0 = time.perf_counter()
+    u1 = draw(start_step, n1)
+    u2 = draw(start_step + n1, n2)
+    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    compile_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    flat, m, v, losses = compiled(flat, m, v, u1, u2, start_step)
+    jax.block_until_ready(flat)
+    wall = time.perf_counter() - t0
+    return TrainResult(
+        params=unpack_dgm(flat),
+        opt_state={"m": unpack_dgm(m), "v": unpack_dgm(v)},
+        loss_history=np.asarray(losses),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,

@@ -790,7 +790,6 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
         raise ValueError("fused engine supports plain tanh MLPs only")
     if schedule is None:
         schedule = problem.defaults.schedule
-    mxu_precision = _PRECISIONS[precision]
 
     init_key, run_key = jax.random.split(key)
     uniforms = jax.vmap(
@@ -798,11 +797,26 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
                                      (batch_size, spec.n_uniform))
     )(jnp.arange(iterations))
 
+    common = dict(steps_per_cell=steps_per_cell, schedule=schedule,
+                  total_steps=iterations, decay=decay)
+    n1 = int(iterations * 0.65) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+
     def run(flat, m, v, u, lrate):
+        if precision == "mixed":
+            # Both phases chained in ONE program — same schedule as
+            # train_fused_result's single-dispatch mixed path.
+            flat, m, v, l1 = fused_engine_chunk(
+                spec, model, flat, m, v, u[:n1], 0, lrate=lrate,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            flat, m, v, l2 = fused_engine_chunk(
+                spec, model, flat, m, v, u[n1:], n1, lrate=lrate,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return flat, m, v, jnp.concatenate([l1, l2])
         return fused_engine_chunk(
             spec, model, flat, m, v, u, 0, lrate=lrate,
-            steps_per_cell=steps_per_cell, precision=mxu_precision,
-            schedule=schedule, total_steps=iterations, decay=decay)
+            precision=_PRECISIONS[precision], **common)
 
     jinit = jax.jit(model.init)
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
@@ -875,7 +889,6 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
         raise ValueError("fused engine supports plain tanh MLPs only")
     if schedule is None:
         schedule = problem.defaults.schedule
-    mxu_precision = _PRECISIONS[precision]
 
     init_key, run_key = jax.random.split(key)
     stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
@@ -886,6 +899,26 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                                      (batch_size, spec.n_uniform))
     )(jnp.arange(iterations))
 
+    common = dict(lrate=lrate, steps_per_cell=steps_per_cell,
+                  schedule=schedule, total_steps=iterations, decay=decay)
+    n1 = int(iterations * 0.65) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+
+    def _train_one(p, m, v, u):
+        if precision == "mixed":
+            p, m, v, l1 = fused_engine_chunk(
+                spec, model, p, m, v, u[:n1], 0,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            p, m, v, l2 = fused_engine_chunk(
+                spec, model, p, m, v, u[n1:], n1,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return p, jnp.concatenate([l1, l2])
+        p, _, _, lo = fused_engine_chunk(
+            spec, model, p, m, v, u, 0,
+            precision=_PRECISIONS[precision], **common)
+        return p, lo
+
     def run_local(flat_local, u):
         outs_p, losses = [], []
         n_local = flat_local[0].shape[0]
@@ -893,10 +926,7 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
             p = tuple(t[j] for t in flat_local)
             m = tuple(jnp.zeros_like(t) for t in p)
             v = tuple(jnp.zeros_like(t) for t in p)
-            p, _, _, lo = fused_engine_chunk(
-                spec, model, p, m, v, u, 0, lrate=lrate,
-                steps_per_cell=steps_per_cell, precision=mxu_precision,
-                schedule=schedule, total_steps=iterations, decay=decay)
+            p, lo = _train_one(p, m, v, u)
             outs_p.append(p)
             losses.append(lo)
         return (tuple(jnp.stack([o[k] for o in outs_p])

@@ -169,9 +169,11 @@ def test_resume_is_bit_identical(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_mixed_precision_schedule_matches_fp32_on_cpu(key):
+@pytest.mark.parametrize("chunk", [10, 4])
+def test_mixed_precision_schedule_matches_fp32_on_cpu(key, chunk):
     """In interpret mode fp32 DEFAULT == HIGHEST, so the mixed schedule's
-    phase chaining must reproduce the plain run bit-for-bit."""
+    phase chaining must reproduce the plain run bit-for-bit — on BOTH the
+    single-dispatch (chunk=10) and chunked-resume (chunk=4) paths."""
     prob = PROBLEMS["fitzhugh_nagumo"]()
     model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
                 activation="tanh")
@@ -179,12 +181,30 @@ def test_mixed_precision_schedule_matches_fp32_on_cpu(key):
                                       model=model, chunk_size=10,
                                       steps_per_cell=2)
     mixed = fd.train_dgm_fused_result(prob, key, 10, batch_size=8,
-                                      model=model, chunk_size=10,
+                                      model=model, chunk_size=chunk,
                                       steps_per_cell=2, precision="mixed")
     assert mixed.loss_history.shape == (10,)
     np.testing.assert_array_equal(mixed.loss_history, plain.loss_history)
     for a, b in zip(jax.tree.leaves(plain.params),
                     jax.tree.leaves(mixed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trial_evaluator_mixed_matches_fp32_on_cpu(key):
+    """make_trial_evaluator's mixed path (one program, two chained phases)
+    must reproduce the fp32 evaluator bit-for-bit in interpret mode."""
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    ev_hi = fd.make_trial_evaluator(prob, key, 10, batch_size=8,
+                                    model=model, steps_per_cell=2)
+    ev_mx = fd.make_trial_evaluator(prob, key, 10, batch_size=8,
+                                    model=model, steps_per_cell=2,
+                                    precision="mixed")
+    lo_hi, p_hi = ev_hi(1)
+    lo_mx, p_mx = ev_mx(1)
+    np.testing.assert_array_equal(lo_hi, lo_mx)
+    for a, b in zip(p_hi, p_mx):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

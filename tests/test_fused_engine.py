@@ -230,6 +230,26 @@ def test_fused_ensemble_sharded_matches_single_device(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ensemble_and_evaluator_mixed_match_fp32_on_cpu(key):
+    """precision='mixed' on the ensemble/evaluator paths (one program, two
+    chained phases) must reproduce fp32 bit-for-bit in interpret mode."""
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    p_hi, l_hi = fe.train_fused_ensemble(prob, key, 8, 2, batch_size=8,
+                                         model=model, steps_per_cell=2)
+    p_mx, l_mx = fe.train_fused_ensemble(prob, key, 8, 2, batch_size=8,
+                                         model=model, steps_per_cell=2,
+                                         precision="mixed")
+    np.testing.assert_array_equal(l_hi, l_mx)
+    for a, b in zip(jax.tree.leaves(p_hi), jax.tree.leaves(p_mx)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ev = fe.make_lr_evaluator(prob, key, 8, batch_size=8, model=model,
+                              steps_per_cell=2, precision="mixed")
+    losses, _ = ev(0, 1e-3)
+    assert losses.shape == (8,)
+
+
 def test_unsupported_configurations_rejected(key):
     from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
 

@@ -417,8 +417,8 @@ def supports(problem, model=None, batch_size=None) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _dgm_kernel(spec, B, L, S, lr, schedule, total, decay, precision,
-                has_const, step0_ref, u_ref, *refs):
+def _dgm_kernel(spec, B, L, S, schedule, total, decay, precision,
+                has_const, step0_ref, lr_ref, u_ref, *refs):
     idx = 0
     if has_const:
         const_ref = refs[0]
@@ -454,6 +454,9 @@ def _dgm_kernel(spec, B, L, S, lr, schedule, total, decay, precision,
         step = i * S + s
 
         t = (step0_ref[0] + step + 1).astype(jnp.float32)
+        # Base lr is a RUNTIME scalar (SMEM), matching the MLP engine:
+        # lr sweeps reuse one compiled kernel.
+        lr = lr_ref[0]
         if schedule == "cosine":
             frac = jnp.minimum((t - 1.0) / total, 1.0)
             lr_t = lr * (decay + (1.0 - decay) * 0.5
@@ -498,7 +501,7 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         steps_per_cell = max(1, 25_600 // (R * B))
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
 
-    kernel = functools.partial(_dgm_kernel, spec, B, L, S, float(lrate),
+    kernel = functools.partial(_dgm_kernel, spec, B, L, S,
                                schedule, float(total_steps), float(decay),
                                precision, const is not None)
 
@@ -522,7 +525,8 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=(
-            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
             + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)]
             + const_spec
@@ -538,7 +542,8 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
         ),
         interpret=_interpret(),
-    )(jnp.asarray([step0], jnp.int32), uniforms, *const_arg,
+    )(jnp.asarray([step0], jnp.int32),
+      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *const_arg,
       *params, *m, *v)
 
     losses = out[0][:, :S].reshape(-1)
@@ -583,34 +588,38 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
                                      (batch_size, spec.n_uniform))
     )(jnp.arange(iterations))
 
-    common = dict(lrate=lrate, const=const, steps_per_cell=steps_per_cell,
+    common = dict(const=const, steps_per_cell=steps_per_cell,
                   schedule=schedule, total_steps=iterations, decay=decay)
     n1 = int(iterations * 0.65) if precision == "mixed" else 0
     if precision == "mixed" and (n1 == 0 or n1 == iterations):
         precision, n1 = "highest", 0
 
-    def run(flat, m, v, u):
+    def run(flat, m, v, u, lr):
         if precision == "mixed":
             # bf16 coarse phase + exact-fp32 final phase in ONE program.
             flat, m, v, l1 = fused_dgm_chunk(
-                spec, model, flat, m, v, u[:n1], 0,
+                spec, model, flat, m, v, u[:n1], 0, lrate=lr,
                 precision=jax.lax.Precision.DEFAULT, **common)
             flat, m, v, l2 = fused_dgm_chunk(
-                spec, model, flat, m, v, u[n1:], n1,
+                spec, model, flat, m, v, u[n1:], n1, lrate=lr,
                 precision=jax.lax.Precision.HIGHEST, **common)
             return flat, m, v, jnp.concatenate([l1, l2])
         return fused_dgm_chunk(
-            spec, model, flat, m, v, u, 0,
+            spec, model, flat, m, v, u, 0, lrate=lr,
             precision=_PRECISIONS[precision], **common)
 
     jinit = jax.jit(model.init)
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = jax.jit(run).lower(flat0, zeros, zeros, uniforms).compile()
+    compiled = jax.jit(run).lower(flat0, zeros, zeros, uniforms,
+                                  jnp.float32(0.0)).compile()
 
-    def eval_fn(trial_index: int):
+    def eval_fn(trial_index: int, lr: float | None = None):
+        # The base lr is a runtime SMEM scalar: sweeping it reuses this
+        # one executable (None = the construction-time default).
         flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
-        p, _, _, losses = compiled(flat, zeros, zeros, uniforms)
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                   jnp.float32(lrate if lr is None else lr))
         return np.asarray(losses), p
 
     return eval_fn

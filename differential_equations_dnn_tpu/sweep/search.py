@@ -351,10 +351,7 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     proposing the next (the vmapped ``tpe_search`` gets feedback only
     between rounds). lr-only spaces (batch size and iteration count are
     shape parameters — changing them recompiles by construction)."""
-    from differential_equations_dnn_tpu.kernels.fused_engine import (
-        make_lr_evaluator,
-        unpack_params,
-    )
+    from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
     space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
@@ -367,8 +364,15 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     bs = int(batch_size if batch_size is not None
              else problem.defaults.batch_size)
 
-    eval_fn = make_lr_evaluator(problem, key, budget, batch_size=bs,
-                                model=model)
+    if fused_dgm.supports(problem, model, bs):
+        _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
+                                             batch_size=bs, model=model)
+        eval_fn = lambda t, lr: _ev(t, lr)
+        unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
+    else:
+        eval_fn = fused_engine.make_lr_evaluator(problem, key, budget,
+                                                 batch_size=bs, model=model)
+        unpack_params = fused_engine.unpack_params
     sampler = TPESampler(space=space, seed=seed, gamma=gamma,
                          n_initial=min(4, num_samples))
     configs: list[dict] = []

@@ -156,6 +156,22 @@ def test_tpe_search_fused_end_to_end(key):
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
 
+def test_tpe_search_fused_dgm_route(key):
+    """DGM equations route tpe-fused through the DGM trial evaluator (lr is
+    a runtime SMEM scalar there too)."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = Fredholm2(k=10, quadrature="gauss")
+    result = tpe_search_fused(prob, key, num_samples=3, max_iters=40,
+                              batch_size=8)
+    assert len(result.configs) == 3
+    assert np.isfinite(result.best_score)
+    best = result.best_params()
+    single = {k2: jax.tree.map(lambda a: a[0], v) for k2, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+
 def test_tpe_search_fused_rejects_non_lr_space(key):
     from differential_equations_dnn_tpu.sweep import tpe_search_fused
 

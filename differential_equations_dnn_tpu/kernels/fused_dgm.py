@@ -34,14 +34,11 @@ Reference hot loops replaced: fitzhugh_nagumo.py:100-147, fredholm.py:77-115.
 """
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from differential_equations_dnn_tpu.kernels.fused_engine import (
     Group,
@@ -51,10 +48,8 @@ from differential_equations_dnn_tpu.kernels.fused_engine import (
 )
 from differential_equations_dnn_tpu.kernels.fused_train import (
     _PRECISIONS,
-    _adam_update,
     _dot_nt,
     _dot_tn,
-    _interpret,
 )
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -417,63 +412,36 @@ def supports(problem, model=None, batch_size=None) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _dgm_kernel(spec, B, L, S, schedule, total, decay, precision,
-                has_const, step0_ref, lr_ref, u_ref, *refs):
-    idx = 0
-    if has_const:
-        const_ref = refs[0]
-        idx = 1
-    p_in = refs[idx:idx + _N_TENSORS]
-    m_in = refs[idx + _N_TENSORS:idx + 2 * _N_TENSORS]
-    v_in = refs[idx + 2 * _N_TENSORS:idx + 3 * _N_TENSORS]
-    loss_ref = refs[idx + 3 * _N_TENSORS]
-    p_out = refs[idx + 3 * _N_TENSORS + 1:idx + 4 * _N_TENSORS + 1]
-    m_out = refs[idx + 4 * _N_TENSORS + 1:idx + 5 * _N_TENSORS + 1]
-    v_out = refs[idx + 5 * _N_TENSORS + 1:idx + 6 * _N_TENSORS + 1]
+def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
+                    const=None, steps_per_cell: int | None = None,
+                    precision=_HIGH, schedule="constant", total_steps=1,
+                    decay=0.1):
+    """Run ``K = uniforms.shape[0]`` Adam steps of a DGM equation inside one
+    Pallas kernel (shared scaffolding: kernels.engine_core; quadrature
+    constants ride the const operand)."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        run_fused_chunk,
+    )
 
-    i = pl.program_id(0)
+    K, B, U = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+    R = _n_rows(spec.groups)
+    if steps_per_cell is None:
+        steps_per_cell = max(1, 25_600 // (R * B))
+    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
 
-    @pl.when(i == 0)
-    def _():
-        for k in range(_N_TENSORS):
-            p_out[k][:] = p_in[k][:]
-            m_out[k][:] = m_in[k][:]
-            v_out[k][:] = v_in[k][:]
+    def step_math(p, u, c):
+        frozen = (spec_with_build(spec, functools.partial(spec.build,
+                                                          const=c))
+                  if c is not None else spec)
+        return dgm_step_math(frozen, p, u, B, L, precision)
 
-    def body(s, _):
-        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
-        if has_const:
-            bound = functools.partial(spec.build, const=const_ref[:])
-            frozen = spec_with_build(spec, bound)
-        else:
-            frozen = spec
-        loss, grads = dgm_step_math(frozen, params, u_ref[s], B, L, precision)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = loss_ref[pl.ds(i, 1), :]
-        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
-        step = i * S + s
-
-        t = (step0_ref[0] + step + 1).astype(jnp.float32)
-        # Base lr is a RUNTIME scalar (SMEM), matching the MLP engine:
-        # lr sweeps reuse one compiled kernel.
-        lr = lr_ref[0]
-        if schedule == "cosine":
-            frac = jnp.minimum((t - 1.0) / total, 1.0)
-            lr_t = lr * (decay + (1.0 - decay) * 0.5
-                         * (1.0 + jnp.cos(math.pi * frac)))
-        elif schedule == "exponential":
-            lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
-        else:
-            lr_t = lr
-        for k in range(_N_TENSORS):
-            p_new, m_new, v_new = _adam_update(
-                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
-            p_out[k][:] = p_new
-            m_out[k][:] = m_new
-            v_out[k][:] = v_new
-        return 0
-
-    jax.lax.fori_loop(0, S, body, 0)
+    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
+              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
+    return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
+                           lrate, S, const=const, schedule=schedule,
+                           total_steps=total_steps, decay=decay)
 
 
 class spec_with_build:
@@ -485,71 +453,6 @@ class spec_with_build:
 
     def __getattr__(self, name):
         return getattr(self._spec, name)
-
-
-def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
-                    const=None, steps_per_cell: int | None = None,
-                    precision=_HIGH, schedule="constant", total_steps=1,
-                    decay=0.1):
-    """Run ``K = uniforms.shape[0]`` Adam steps of a DGM equation inside one
-    Pallas kernel. Same layout strategy as fused_engine."""
-    K, B, U = uniforms.shape
-    L, H = model.num_layers, model.hidden_size
-    D, O = model.input_dim, model.output_dim
-    R = _n_rows(spec.groups)
-    if steps_per_cell is None:
-        steps_per_cell = max(1, 25_600 // (R * B))
-    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
-
-    kernel = functools.partial(_dgm_kernel, spec, B, L, S,
-                               schedule, float(total_steps), float(decay),
-                               precision, const is not None)
-
-    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
-              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
-    state_specs = [
-        pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
-                     memory_space=pltpu.VMEM)
-        for s in shapes
-    ]
-    const_spec = ([pl.BlockSpec(const.shape,
-                                functools.partial(lambda r, i: (0,) * r,
-                                                  len(const.shape)),
-                                memory_space=pltpu.VMEM)]
-                  if const is not None else [])
-    const_arg = (const,) if const is not None else ()
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(K // S,),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        in_specs=(
-            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)]
-            + const_spec
-            + state_specs * 3
-        ),
-        out_specs=(
-            [pl.BlockSpec((K // S, 128), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)]
-            + state_specs * 3
-        ),
-        out_shape=(
-            [jax.ShapeDtypeStruct((K // S, 128), jnp.float32)]
-            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
-        ),
-        interpret=_interpret(),
-    )(jnp.asarray([step0], jnp.int32),
-      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *const_arg,
-      *params, *m, *v)
-
-    losses = out[0][:, :S].reshape(-1)
-    n = _N_TENSORS
-    return tuple(out[1:1 + n]), tuple(out[1 + n:1 + 2 * n]), \
-        tuple(out[1 + 2 * n:1 + 3 * n]), losses
 
 
 # ---------------------------------------------------------------------------

@@ -31,22 +31,17 @@ e.g. heat.py:124-147, simple_ode.py:91-110.
 """
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from differential_equations_dnn_tpu.kernels.fused_train import (
     _N_TENSORS,
     _PRECISIONS,
-    _adam_update,
     _dot_nt,
     _dot_tn,
-    _interpret,
     pack_params,
     unpack_params,
 )
@@ -491,91 +486,31 @@ def _largest_divisor_leq(K, cap):
     return best
 
 
-def _engine_kernel(spec, B, L, S, T, schedule, total, decay, precision,
-                   step0_ref, lr_ref, u_ref, *refs):
-    p_in = refs[0:6]
-    m_in = refs[6:12]
-    v_in = refs[12:18]
-    loss_ref = refs[18]
-    p_out = refs[19:25]
-    m_out = refs[25:31]
-    v_out = refs[31:37]
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        for k in range(_N_TENSORS):
-            p_out[k][:] = p_in[k][:]
-            m_out[k][:] = m_in[k][:]
-            v_out[k][:] = v_in[k][:]
-
-    def body(s, _):
-        params = tuple(p_out[k][:] for k in range(_N_TENSORS))
-        tile = B // T
-        loss, grads = engine_step_math(spec, params, u_ref[s, :tile], tile,
-                                       L, precision)
-        for t in range(1, T):
-            loss_t, grads_t = engine_step_math(
-                spec, params, u_ref[s, t * tile:(t + 1) * tile], tile, L,
-                precision)
-            loss = loss + loss_t
-            grads = tuple(g + gt for g, gt in zip(grads, grads_t))
-        if T > 1:
-            inv = 1.0 / T
-            loss = loss * inv
-            grads = tuple(g * inv for g in grads)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = loss_ref[pl.ds(i, 1), :]
-        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
-        step = i * S + s
-
-        t = (step0_ref[0] + step + 1).astype(jnp.float32)
-        # Base lr is a RUNTIME scalar (SMEM): sweeping the learning rate
-        # reuses one compiled kernel instead of recompiling per trial.
-        lr = lr_ref[0]
-        # Per-step learning rate (matches train.trainer's optax schedules:
-        # cosine_decay_schedule / exponential_decay with end value lr·decay).
-        if schedule == "cosine":
-            frac = jnp.minimum((t - 1.0) / total, 1.0)
-            lr_t = lr * (decay + (1.0 - decay) * 0.5
-                         * (1.0 + jnp.cos(math.pi * frac)))
-        elif schedule == "exponential":
-            lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
-        else:
-            lr_t = lr
-        for k in range(_N_TENSORS):
-            p_new, m_new, v_new = _adam_update(
-                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
-            p_out[k][:] = p_new
-            m_out[k][:] = m_new
-            v_out[k][:] = v_new
-        return 0
-
-    jax.lax.fori_loop(0, S, body, 0)
-
-
 def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
                        steps_per_cell: int | None = None,
                        batch_tile: int | None = None, precision=_HIGH,
                        schedule="constant", total_steps=1, decay=0.1):
     """Run ``K = uniforms.shape[0]`` Adam steps of ``spec``'s equation inside
-    one Pallas kernel. Layout/VMEM strategy identical to
-    fused_train.heat_fused_train_chunk (see there), with the VMEM budget
-    scaled by the spec's stream count."""
+    one Pallas kernel (shared scaffolding: kernels.engine_core). VMEM
+    strategy scales with the spec's stream count; batches above the tile
+    cap run as gradient-accumulation tiles."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        run_fused_chunk,
+    )
+
     K, B, U = uniforms.shape
     L, H = model.num_layers, model.hidden_size
     D, O = model.input_dim, model.output_dim
     R = _n_rows(spec.groups)
     if steps_per_cell is None:
-        # Anchor: heat (R=7) runs S=100 at B=64 → working set ≈ R·B·S rows.
+        # Anchor: heat (R=7) runs S=100 at B=64 -> working set ~ R*B*S rows.
         steps_per_cell = max(1, 44_800 // (R * B))
     # Largest divisor of K within the budget (lane-packed loss rows hold
-    # ≤128 steps per grid cell).
+    # <=128 steps per grid cell).
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
-    # Tile cap: keep R·tile ≤ ~3.6k rows — sized for the 64 MiB VMEM grant
+    # Tile cap: keep R*tile <= ~3.6k rows -- sized for the 64 MiB VMEM grant
     # (measured: poisson R=9 and heat2d R=12 run full-batch-256 tiles at
-    # +20-25% over split tiles; the old 16 MiB-era cap of 256·7/R rows
+    # +20-25% over split tiles; the old 16 MiB-era cap of 256*7/R rows
     # forced T=2 on both). Halve until it divides the batch.
     cap = max(64, (512 * 7) // R)
     if batch_tile is None:
@@ -586,48 +521,13 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
     T = B // batch_tile
 
-    kernel = functools.partial(_engine_kernel, spec, B, L, S, T,
-                               schedule, float(total_steps),
-                               float(decay), precision)
+    def step_math(p, u, const):
+        return engine_step_math(spec, p, u, u.shape[0], L, precision)
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
-    state_specs = [
-        pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
-                     memory_space=pltpu.VMEM)
-        for s in shapes
-    ]
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(K // S,),
-        # Mosaic's default scoped-VMEM stack limit (16 MiB) is sized for
-        # small kernels; the wider specs (poisson R=9, heat2d R=12 at batch
-        # 256) legitimately need ~24 MiB of live stream working set. v5e has
-        # 128 MiB of VMEM per core — grant the kernel half of it.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        in_specs=(
-            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)]
-            + state_specs * 3
-        ),
-        out_specs=(
-            [pl.BlockSpec((K // S, 128), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)]
-            + state_specs * 3
-        ),
-        out_shape=(
-            [jax.ShapeDtypeStruct((K // S, 128), jnp.float32)]
-            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes] * 3
-        ),
-        interpret=_interpret(),
-    )(jnp.asarray([step0], jnp.int32),
-      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *params, *m, *v)
-
-    losses = out[0][:, :S].reshape(-1)
-    return tuple(out[1:7]), tuple(out[7:13]), tuple(out[13:19]), losses
+    return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
+                           lrate, S, T=T, schedule=schedule,
+                           total_steps=total_steps, decay=decay)
 
 
 # ---------------------------------------------------------------------------

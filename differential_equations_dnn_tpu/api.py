@@ -164,6 +164,10 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         raise ValueError("engine='fused' ensembles are single-chip "
                          "(drop mesh, or use the scan engine)")
     state = None
+    if engine == "fused" and type(model).__name__ == "HardConstraint":
+        raise ValueError("hard-constraint trial functions train on the scan "
+                         "engine (the fused kernels read the raw MLP/DGM "
+                         "structure)")
     if ensemble > 1 and engine == "fused":
         # Fused-kernel ensemble: ONE AOT-compiled executable, one dispatch
         # per replica (independent inits keyed by replica index, shared

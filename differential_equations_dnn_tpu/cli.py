@@ -110,6 +110,9 @@ def _solve(problem, args):
     if fused and args.mesh:
         raise SystemExit("--engine fused is single-chip (use the default "
                          "scan engine with --mesh)")
+    if fused and getattr(args, "constraint", "soft") == "hard":
+        raise SystemExit("--constraint hard trains on the scan engine "
+                         "(the fused kernels read the raw model structure)")
     params = opt_state = state = None
     start_step = 0
     if args.restore:
@@ -301,6 +304,13 @@ def _plot(problem, args):
 
 def _cmd_equation(name, args):
     problem_cls = PROBLEMS[name]
+    extra = {}
+    if getattr(args, "constraint", "soft") == "hard":
+        extra["constraint"] = "hard"
+        if name in ("heat", "heat2d"):
+            # Hard constraints wrap the model, so the fused Taylor-stream
+            # taps cannot read its MLP structure.
+            args.taps = "jvp"
     if name == "fredholm":
         if getattr(args, "parity", False):
             # Reference-exact configuration (fredholm.py:142-144): k=50
@@ -312,11 +322,11 @@ def _cmd_equation(name, args):
     elif name == "volterra":
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
-        problem = problem_cls(arch=args.arch)
+        problem = problem_cls(arch=args.arch, **extra)
     elif name in ("heat", "heat2d"):
-        problem = problem_cls(taps=args.taps)
+        problem = problem_cls(taps=args.taps, **extra)
     else:
-        problem = problem_cls()
+        problem = problem_cls(**extra)
     # Robust defaults (mirrors api._auto_defaults): the FitzHugh-Nagumo DGM
     # arch gets ensemble 16 + top-3 L-BFGS post-polish selection (beats the
     # reference on every seed: MAE 0.0024-0.0048 vs 0.0088); fredholm gets
@@ -497,6 +507,14 @@ def build_parser() -> argparse.ArgumentParser:
                            help="dgm = reference parity (init-sensitive; "
                                 "pair with --ensemble); fourier_mlp = "
                                 "seed-robust, ~10x lower MAE")
+        if name in ("simple_ode", "heat", "wave", "poisson", "heat2d",
+                    "fitzhugh_nagumo"):
+            p.add_argument("--constraint", choices=["soft", "hard"],
+                           default="soft",
+                           help="soft = reference-style weighted IC/BC loss "
+                                "terms; hard = Lagaris trial function — "
+                                "IC/BC hold EXACTLY, only the domain "
+                                "residual trains (scan engine, jvp taps)")
         p.set_defaults(func=lambda a, n=name: _cmd_equation(n, a))
 
     p = sub.add_parser("sweep", help="population hyperparameter search "

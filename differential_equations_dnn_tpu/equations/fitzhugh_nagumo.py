@@ -53,18 +53,35 @@ class FitzHughNagumo(Problem):
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=150_000, batch_size=100, nodes=50)
     )
+    constraint: str = "soft"  # "hard" = s(0) pinned exactly via t*N(t)
 
     def default_model(self):
         if self.arch == "fourier_mlp":
             from differential_equations_dnn_tpu.models import MLP
 
-            return MLP(input_dim=1, output_dim=2, hidden_size=128,
-                       num_layers=3, activation="tanh",
-                       fourier_features=16, fourier_scale=0.1)
+            net = MLP(input_dim=1, output_dim=2, hidden_size=128,
+                      num_layers=3, activation="tanh",
+                      fourier_features=16, fourier_scale=0.1)
+            if self.constraint == "hard":
+                from differential_equations_dnn_tpu.models.hard import (
+                    HardConstraint,
+                    time_ic_ansatz,
+                )
+
+                return HardConstraint(net, time_ic_ansatz(self.y_ic, self.t_max))
+            return net
         if self.arch != "dgm":
             raise ValueError(f"unknown arch {self.arch!r} (dgm | fourier_mlp)")
-        return DGM(input_dim=1, output_dim=2, hidden_size=128, num_layers=4,
-                   activation="tanh", init_scheme="torch")
+        net = DGM(input_dim=1, output_dim=2, hidden_size=128, num_layers=4,
+                  activation="tanh", init_scheme="torch")
+        if self.constraint == "hard":
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                time_ic_ansatz,
+            )
+
+            return HardConstraint(net, time_ic_ansatz(self.y_ic, self.t_max))
+        return net
 
     @property
     def max_sample_size(self):

@@ -45,10 +45,25 @@ class Heat1D(Problem):
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=15000, batch_size=64, nodes=40)
     )
+    # "soft" = reference-style weighted loss terms; "hard" = Lagaris
+    # trial function (models/hard.py) satisfying IC/BC exactly (jvp taps).
+    constraint: str = "soft"
 
     def default_model(self):
-        return MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
-                   activation="tanh")
+        net = MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
+                  activation="tanh")
+        if self.constraint == "hard":
+            if self.taps != "jvp":
+                raise ValueError("constraint='hard' wraps the model, so the "
+                                 "fused Taylor-stream taps cannot read its "
+                                 "MLP structure — use Heat1D(taps='jvp')")
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                heat1d_ansatz,
+            )
+
+            return HardConstraint(net, heat1d_ansatz(self.x_max, self.t_max))
+        return net
 
     def sample(self, key, n):
         kx, kt = jax.random.split(key)

@@ -44,10 +44,22 @@ class Heat2D(Problem):
                                               lrate=1e-3, nodes=24,
                                               schedule="cosine")
     )
+    constraint: str = "soft"  # "hard" = Lagaris trial function (jvp taps)
 
     def default_model(self):
-        return MLP(input_dim=3, output_dim=1, hidden_size=128, num_layers=3,
-                   activation="tanh")
+        net = MLP(input_dim=3, output_dim=1, hidden_size=128, num_layers=3,
+                  activation="tanh")
+        if self.constraint == "hard":
+            if self.taps != "jvp":
+                raise ValueError("constraint='hard' wraps the model — use "
+                                 "Heat2D(taps='jvp')")
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                heat2d_ansatz,
+            )
+
+            return HardConstraint(net, heat2d_ansatz(self.x_max, self.t_max))
+        return net
 
     def sample(self, key, n):
         kxy, kt, kb = jax.random.split(key, 3)

@@ -35,10 +35,21 @@ class Poisson2D(Problem):
                                               lrate=1e-3, nodes=40,
                                               schedule="cosine")
     )
+    # "soft" = reference-style weighted loss terms; "hard" = Lagaris
+    # trial function (models/hard.py) satisfying IC/BC exactly.
+    constraint: str = "soft"
 
     def default_model(self):
-        return MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
-                   activation="tanh")
+        net = MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
+                  activation="tanh")
+        if self.constraint == "hard":
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                poisson_ansatz,
+            )
+
+            return HardConstraint(net, poisson_ansatz(self.x_max))
+        return net
 
     def source(self, xy):
         return 2.0 * jnp.sin(xy[:, :1]) * jnp.sin(xy[:, 1:2])

@@ -24,10 +24,21 @@ class SimpleODE(Problem):
     defaults: TrainDefaults = field(
         default_factory=lambda: TrainDefaults(iterations=5000, batch_size=64, nodes=25)
     )
+    # "soft" = reference-style weighted loss terms; "hard" = Lagaris
+    # trial function (models/hard.py) satisfying IC/BC exactly.
+    constraint: str = "soft"
 
     def default_model(self):
-        return MLP(input_dim=1, output_dim=1, hidden_size=32, num_layers=1,
-                   activation="tanh")
+        net = MLP(input_dim=1, output_dim=1, hidden_size=32, num_layers=1,
+                  activation="tanh")
+        if self.constraint == "hard":
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                time_ic_ansatz,
+            )
+
+            return HardConstraint(net, time_ic_ansatz(self.y_ic, self.t_max))
+        return net
 
     def sample(self, key, n):
         sampler = UniformBox((0.0,), (self.sample_scale * self.t_max,))

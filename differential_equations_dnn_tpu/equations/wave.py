@@ -44,10 +44,21 @@ class Wave1D(Problem):
                                               lrate=1e-3, nodes=40,
                                               schedule="cosine")
     )
+    # "soft" = reference-style weighted loss terms; "hard" = Lagaris
+    # trial function (models/hard.py) satisfying IC/BC exactly.
+    constraint: str = "soft"
 
     def default_model(self):
-        return MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
-                   activation="tanh")
+        net = MLP(input_dim=2, output_dim=1, hidden_size=128, num_layers=3,
+                  activation="tanh")
+        if self.constraint == "hard":
+            from differential_equations_dnn_tpu.models.hard import (
+                HardConstraint,
+                wave1d_ansatz,
+            )
+
+            return HardConstraint(net, wave1d_ansatz(self.x_max, self.t_max))
+        return net
 
     def sample(self, key, n):
         kx, kt = jax.random.split(key)

@@ -12,6 +12,7 @@ running statistics: ``init_state()`` and ``apply(params, x, state=..., train=...
 from differential_equations_dnn_tpu.models.mlp import MLP
 from differential_equations_dnn_tpu.models.dgm import DGM, dgm_cell
 from differential_equations_dnn_tpu.models.perceptron import Perceptron
+from differential_equations_dnn_tpu.models.hard import HardConstraint
 from differential_equations_dnn_tpu.models.resnet import ResNet, ResidualBlock
 from differential_equations_dnn_tpu.models.stateful import (
     eval_apply,
@@ -20,5 +21,5 @@ from differential_equations_dnn_tpu.models.stateful import (
     update_state,
 )
 
-__all__ = ["MLP", "DGM", "dgm_cell", "Perceptron", "ResNet", "ResidualBlock",
+__all__ = ["MLP", "DGM", "dgm_cell", "HardConstraint", "Perceptron", "ResNet", "ResidualBlock",
            "eval_apply", "init_model_state", "train_apply", "update_state"]

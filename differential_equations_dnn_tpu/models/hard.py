@@ -1,0 +1,119 @@
+"""Hard-constraint trial functions (Lagaris et al. 1998).
+
+``u(x) = A(x) + D(x) · N(x)`` where ``A`` satisfies the problem's IC/BC
+and ``D`` vanishes on the constraint set — the constraints hold EXACTLY
+(to fp precision) for every parameter value, so only the domain residual
+drives training. The reference trains all constraints softly (weighted
+loss terms, e.g. heat.py:87-95); hard constraints are the classical
+alternative a differential-equation framework is expected to offer:
+they remove the residual/constraint balancing problem and typically
+reach lower MAE at small budgets.
+
+Wraps any model: ``apply(params, x) = ansatz(x, net.apply(params, x))``.
+Trains on the standard scan path (derivative taps via jvp — the fused
+Taylor-stream paths need the raw MLP structure, so pass
+``taps="jvp"`` for heat/heat2d).
+
+Per-equation ansatz builders live on the equations (``constraint="hard"``
+on supported Problems).
+"""
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class HardConstraint:
+    """``apply(params, x) = ansatz(x, net.apply(params, x))``."""
+    net: object
+    ansatz: Callable  # (x [n, D], y_raw [n, O]) -> y [n, O]
+
+    @property
+    def input_dim(self):
+        return self.net.input_dim
+
+    @property
+    def output_dim(self):
+        return self.net.output_dim
+
+    @property
+    def batch_norm(self):
+        return getattr(self.net, "batch_norm", None)
+
+    def init(self, key):
+        return self.net.init(key)
+
+    def apply(self, params, x):
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None, :]
+        y = self.ansatz(x, self.net.apply(params, x))
+        return y[0] if squeeze else y
+
+    __call__ = apply
+
+
+def time_ic_ansatz(y_ic: float, t_scale: float = 1.0):
+    """1-D time problems with ``y(0) = y_ic``: y = y_ic + (t/t_scale)·N(t)
+    (normalise by the domain length so the trial function's output scale
+    matches the bare net's — an unnormalised t factor of up to t_max
+    detunes the reference learning rate)."""
+    def ansatz(x, y_raw):
+        return y_ic + (x[:, :1] / t_scale) * y_raw
+
+    return ansatz
+
+
+def heat1d_ansatz(x_max: float, t_max: float = 1.0):
+    """u(x,0)=sin x, u(0,t)=u(x_max,t)=0:
+    u = sin(x) + D(x,t)·N(x,t) with D = t·x·(x_max−x) normalised to ≤1
+    (x_max=π ⇒ sin vanishes at both ends, so the BCs hold exactly too).
+    Normalising D matters: the raw factor peaks at ~t_max·x_max²/4 ≈ 7,
+    which rescales the net's output and detunes the reference lr."""
+    scale = t_max * (x_max / 2.0) ** 2
+
+    def ansatz(xt, y_raw):
+        x, t = xt[:, :1], xt[:, 1:2]
+        return jnp.sin(x) + (t * x * (x_max - x) / scale) * y_raw
+
+    return ansatz
+
+
+def wave1d_ansatz(x_max: float, t_max: float = 1.0):
+    """u(x,0)=sin x, u_t(x,0)=0, u(0,t)=u(x_max,t)=0:
+    u = sin(x) + D·N with D = t²·x·(x_max−x) normalised to ≤1 — the t²
+    factor kills both the position and the velocity initial condition."""
+    scale = t_max ** 2 * (x_max / 2.0) ** 2
+
+    def ansatz(xt, y_raw):
+        x, t = xt[:, :1], xt[:, 1:2]
+        return jnp.sin(x) + (t * t * x * (x_max - x) / scale) * y_raw
+
+    return ansatz
+
+
+def poisson_ansatz(x_max: float):
+    """u = 0 on ∂[0,x_max]²: u = D·N with D = x(x_max−x)y(x_max−y)
+    normalised to ≤1."""
+    scale = (x_max / 2.0) ** 4
+
+    def ansatz(xy, y_raw):
+        x, y = xy[:, :1], xy[:, 1:2]
+        return (x * (x_max - x) * y * (x_max - y) / scale) * y_raw
+
+    return ansatz
+
+
+def heat2d_ansatz(x_max: float, t_max: float = 1.0):
+    """u(x,y,0)=sin x·sin y, u=0 on the spatial boundary:
+    u = sin(x)sin(y) + D·N with D = t·x(x_max−x)y(x_max−y) normalised."""
+    scale = t_max * (x_max / 2.0) ** 4
+
+    def ansatz(xyt, y_raw):
+        x, y, t = xyt[:, :1], xyt[:, 1:2], xyt[:, 2:3]
+        return (jnp.sin(x) * jnp.sin(y)
+                + (t * x * (x_max - x) * y * (x_max - y) / scale) * y_raw)
+
+    return ansatz

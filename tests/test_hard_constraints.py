@@ -1,0 +1,115 @@
+"""Hard-constraint (Lagaris trial function) tests.
+
+The defining property: IC/BC hold EXACTLY for any parameter value — so
+they are asserted to fp precision on randomly-initialised nets, and the
+soft constraint terms in the unchanged point_loss are verified to
+vanish. Training happens on the standard scan path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_dnn_tpu.equations import PROBLEMS
+from differential_equations_dnn_tpu.train import TrainConfig, train
+
+
+HARD = ["simple_ode", "heat", "wave", "poisson", "heat2d",
+        "fitzhugh_nagumo"]
+
+
+def _mk(name):
+    if name in ("heat", "heat2d"):
+        return PROBLEMS[name](taps="jvp", constraint="hard")
+    return PROBLEMS[name](constraint="hard")
+
+
+@pytest.mark.parametrize("name", HARD)
+def test_constraints_hold_exactly_at_init(name, key):
+    prob = _mk(name)
+    model = prob.default_model()
+    params = model.init(key)
+    n = 16
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 1))
+    if name == "simple_ode":
+        y0 = model.apply(params, jnp.zeros((n, 1)))
+        np.testing.assert_allclose(np.asarray(y0), prob.y_ic, atol=1e-6)
+    elif name == "fitzhugh_nagumo":
+        s0 = model.apply(params, jnp.zeros((n, 1)))
+        np.testing.assert_allclose(np.asarray(s0), prob.y_ic, atol=1e-6)
+    elif name == "heat":
+        x = prob.x_max * u
+        ic = model.apply(params, jnp.concatenate([x, jnp.zeros((n, 1))], 1))
+        np.testing.assert_allclose(np.asarray(ic), np.sin(np.asarray(x)),
+                                   atol=1e-6)
+        t = prob.t_max * u
+        for xb in (0.0, prob.x_max):
+            bc = model.apply(params, jnp.concatenate(
+                [jnp.full((n, 1), xb), t], 1))
+            np.testing.assert_allclose(np.asarray(bc), 0.0, atol=1e-5)
+    elif name == "wave":
+        x = prob.x_max * u
+        x0 = jnp.concatenate([x, jnp.zeros((n, 1))], 1)
+        ic = model.apply(params, x0)
+        np.testing.assert_allclose(np.asarray(ic), np.sin(np.asarray(x)),
+                                   atol=1e-6)
+        # velocity IC: d/dt u(x, 0) = 0 exactly (the t² factor)
+        _, vel = jax.jvp(lambda z: model.apply(params, z), (x0,),
+                         (jnp.concatenate([jnp.zeros((n, 1)),
+                                           jnp.ones((n, 1))], 1),))
+        np.testing.assert_allclose(np.asarray(vel), 0.0, atol=1e-6)
+    elif name == "poisson":
+        e = prob.x_max * u
+        for edge in (jnp.concatenate([jnp.zeros((n, 1)), e], 1),
+                     jnp.concatenate([jnp.full((n, 1), prob.x_max), e], 1),
+                     jnp.concatenate([e, jnp.zeros((n, 1))], 1),
+                     jnp.concatenate([e, jnp.full((n, 1), prob.x_max)], 1)):
+            bc = model.apply(params, edge)
+            np.testing.assert_allclose(np.asarray(bc), 0.0, atol=1e-5)
+    elif name == "heat2d":
+        x = prob.x_max * u
+        y = prob.x_max * jax.random.uniform(jax.random.fold_in(key, 2),
+                                            (n, 1))
+        ic = model.apply(params, jnp.concatenate(
+            [x, y, jnp.zeros((n, 1))], 1))
+        np.testing.assert_allclose(
+            np.asarray(ic), np.sin(np.asarray(x)) * np.sin(np.asarray(y)),
+            atol=1e-6)
+
+
+def test_soft_terms_vanish_in_point_loss(key):
+    """The unchanged point_loss's IC/BC terms contribute (numerically)
+    nothing under a hard-constrained model."""
+    prob = PROBLEMS["heat"](taps="jvp", constraint="hard")
+    model = prob.default_model()
+    params = model.init(key)
+    batch = prob.sample(jax.random.fold_in(key, 1), 32)
+    # Constraint-only batch: interior points AT the constraint set.
+    ic_vals = model.apply(params, batch["x0"])
+    bc1 = model.apply(params, batch["xb1"])
+    bc2 = model.apply(params, batch["xb2"])
+    x = batch["x0"][:, :1]
+    assert float(jnp.max(jnp.abs(ic_vals - jnp.sin(x)))) < 1e-5
+    assert float(jnp.max(jnp.abs(bc1))) < 1e-5
+    assert float(jnp.max(jnp.abs(bc2))) < 1e-5
+
+
+def test_hard_heat_trains(key):
+    prob = PROBLEMS["heat"](taps="jvp", constraint="hard")
+    model = prob.default_model()
+    cfg = TrainConfig(iterations=150, batch_size=16, lrate=1e-3,
+                      chunk_size=150, verbose=False, snapshot_every=0)
+    r = train(prob, key, cfg, model=model)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    assert np.isfinite(prob.mae(model.apply, r.params, nodes=8))
+
+
+def test_hard_constraint_solve_and_fused_guard():
+    from differential_equations_dnn_tpu.api import solve
+
+    res = solve("simple_ode", constraint="hard", iterations=150,
+                batch_size=16, lrate=1e-3, nodes=8)
+    assert np.isfinite(res.mae)
+    with pytest.raises(ValueError, match="scan engine"):
+        solve("simple_ode", constraint="hard", engine="fused", iterations=10)

@@ -720,3 +720,84 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
         iters_per_sec=iterations / wall if wall else float("inf"),
         compile_time=compile_time,
     )
+
+
+def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
+                             batch_size=100, lrate=1e-4, model=None,
+                             steps_per_cell: int | None = None,
+                             precision: str = "highest",
+                             schedule: str | None = None, decay: float = 0.1):
+    """DGM counterpart of fused_engine.train_fused_ensemble: N
+    independently-initialised replicas, EACH running its whole training
+    loop inside its own Mosaic kernel, sharded over ``mesh``'s 'pop' axis
+    with ``jax.shard_map`` (zero cross-replica comms; shared collocation
+    stream; quadrature constants replicated). ``mesh=None`` runs the
+    replicas sequentially on one device.
+
+    Returns (stacked_params_pytree, losses [n_replicas, iterations])."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        precision = "highest"  # per-replica mixed phases: use the solve path
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = jax.random.split(key)
+    stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
+    flat = pack_dgm(stacked)  # tuple of [n_replicas, ...] tensors
+
+    uniforms = jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(iterations))
+
+    def run_local(flat_local, u):
+        outs_p, losses = [], []
+        n_local = flat_local[0].shape[0]
+        for j in range(n_local):
+            p = tuple(t[j] for t in flat_local)
+            m = tuple(jnp.zeros_like(t) for t in p)
+            v = tuple(jnp.zeros_like(t) for t in p)
+            p, _, _, lo = fused_dgm_chunk(
+                spec, model, p, m, v, u, 0, lrate=lrate, const=const,
+                steps_per_cell=steps_per_cell,
+                precision=_PRECISIONS[precision], schedule=schedule,
+                total_steps=iterations, decay=decay)
+            outs_p.append(p)
+            losses.append(lo)
+        return (tuple(jnp.stack([o[k] for o in outs_p])
+                      for k in range(_N_TENSORS)),
+                jnp.stack(losses))
+
+    if mesh is None:
+        flat_out, losses = jax.jit(run_local)(flat, uniforms)
+    else:
+        pop_axis = "pop"
+        n_shards = mesh.shape[pop_axis]
+        if n_replicas % n_shards:
+            raise ValueError(f"n_replicas {n_replicas} not divisible by "
+                             f"'{pop_axis}' mesh axis ({n_shards} shards)")
+        pspec = PartitionSpec(pop_axis)
+        flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
+                     for t in flat)
+        # check_vma=False: pallas_call's out_shape structs carry no varying
+        # -across-mesh annotation, which the vma checker (jax>=0.9) rejects.
+        shmap = jax.shard_map(
+            run_local, mesh=mesh,
+            in_specs=(tuple(pspec for _ in flat), PartitionSpec()),
+            out_specs=(tuple(pspec for _ in flat), pspec),
+            check_vma=False)
+        flat_out, losses = jax.jit(shmap)(flat, uniforms)
+
+    return unpack_dgm(flat_out), np.asarray(losses)

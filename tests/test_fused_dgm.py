@@ -208,6 +208,27 @@ def test_trial_evaluator_mixed_matches_fp32_on_cpu(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_dgm_ensemble_sharded_matches_single_device(key):
+    """DGM replicas sharded over a 'pop' mesh via shard_map must produce
+    bit-identical results to the sequential single-device path."""
+    from differential_equations_dnn_tpu.parallel import make_mesh
+
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    p_seq, l_seq = fd.train_dgm_fused_ensemble(
+        prob, key, 6, 4, mesh=None, batch_size=8, model=model,
+        steps_per_cell=3)
+    mesh = make_mesh({"pop": 2})
+    p_sh, l_sh = fd.train_dgm_fused_ensemble(
+        prob, key, 6, 4, mesh=mesh, batch_size=8, model=model,
+        steps_per_cell=3)
+    assert l_sh.shape == (4, 6)
+    np.testing.assert_array_equal(l_sh, l_seq)
+    for a, b in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_seq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unsupported_configurations_rejected(key):
     from differential_equations_dnn_tpu.equations import Fredholm2, Heat1D
 

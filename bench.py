@@ -105,6 +105,106 @@ def warmup_compiler():
     return round(time.perf_counter() - t0, 1)
 
 
+# Nominal per-chip MXU peaks (public spec sheets) — the honest denominator
+# for utilisation, alongside the same-day calibration anchor. fp32 has no
+# published MXU figure (the MXU is bf16-native; fp32 runs as multi-pass).
+NOMINAL_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e: 197 bf16 TFLOP/s per chip
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,   # v6e (Trillium)
+}
+
+
+def warm_probe():
+    """Subprocess body (``bench.py --warm-probe``): a fresh process running
+    the headline solve path through the AOT executable cache. Prints one
+    JSON line with the time from process start to kernel-ready (compile
+    resolved, first dispatch issued)."""
+    t0 = float(__import__("os").environ.get("BENCH_T0", time.time()))
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.kernels import aot_cache
+    from differential_equations_dnn_tpu.kernels.fused_train import (
+        train_heat_fused_result,
+    )
+
+    t_import = time.time() - t0
+    problem = Heat1D(taps="taylor")
+    r = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
+                                batch_size=BATCH, lrate=1e-4,
+                                chunk_size=ITERATIONS, precision="mixed",
+                                mixed_split=0.65)
+    print(json.dumps({
+        "setup_s": round(time.time() - t0 - r.wall_time, 2),
+        "import_s": round(t_import, 2),
+        "compile_s": round(r.compile_time, 2),
+        "run_s": round(r.wall_time, 2),
+        "aot_cache": aot_cache.stats(),
+    }))
+
+
+def measure_warm_process():
+    """Fork a fresh interpreter and measure its time-to-kernel-ready with
+    the AOT executable cache populated (VERDICT r2 item 2)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, BENCH_T0=repr(time.time()))
+    try:
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--warm-probe"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=str(Path(__file__).resolve().parent))
+        for line in out.stdout.splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def sweep_throughput():
+    """The north star's second metric: sweep trials/min per chip, on both
+    sweep engines (VERDICT r2 weak #6). Configs are fixed and reported so
+    the numbers regression-track."""
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.kernels.fused_engine import (
+        make_lr_evaluator,
+    )
+    from differential_equations_dnn_tpu.parallel import (
+        PopulationConfig,
+        train_population,
+    )
+
+    problem = Heat1D(taps="jvp")
+    out = {}
+    # Vmapped population: 16 concurrent trials × 2000 iters, batch 64.
+    timings = {}
+    lrs = jnp.full((16,), 1e-4)
+    train_population(problem, problem.default_model(), jax.random.key(0),
+                     lrs, config=PopulationConfig(iterations=2000,
+                                                  max_batch_size=64,
+                                                  chunk_size=2000),
+                     timings=timings)
+    run = timings.get("run_time", 0.0)
+    if run:
+        out["sweep_trials_per_min"] = round(16 * 60.0 / run, 1)
+    out["sweep_trials_config"] = "population 16 x 2000 iters, batch 64"
+    # Fused evaluator: FULL 15k-iteration trials through one executable.
+    ev = make_lr_evaluator(problem, jax.random.key(0), ITERATIONS,
+                           batch_size=BATCH)
+    ev(0, 1e-4)  # first dispatch
+    t0 = time.perf_counter()
+    n = 6
+    for t in range(n):
+        ev(t + 1, 10.0 ** (-4 + 0.1 * t))
+    dt = time.perf_counter() - t0
+    out["fused_full_budget_trials_per_min"] = round(n * 60.0 / dt, 1)
+    out["fused_trials_config"] = (
+        f"lr evaluator, {ITERATIONS} iters x batch {BATCH} per trial")
+    return out
+
+
 def main():
     from differential_equations_dnn_tpu.equations import Heat1D
     from differential_equations_dnn_tpu.kernels.fused_train import (
@@ -189,6 +289,26 @@ def main():
     if fp32_peak:
         extras["mxu_utilisation_vs_calibration"] = round(
             extras["achieved_matmul_tflops"] / fp32_peak, 3)
+    # Utilisation against the chip's NOMINAL bf16 peak (honest headroom —
+    # the calibration anchor above only pins same-day silicon health).
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    nominal = next((v for k, v in NOMINAL_BF16_TFLOPS.items()
+                    if k in str(kind) or str(kind) in k), None)
+    if nominal:
+        extras["nominal_bf16_tflops"] = nominal
+        extras["mxu_utilisation_vs_peak"] = round(
+            extras["achieved_matmul_tflops"] / nominal, 4)
+
+    # Sweep throughput (north-star metric #2) + warm-process setup (AOT
+    # executable cache, VERDICT r2 item 2).
+    try:
+        extras.update(sweep_throughput())
+    except Exception as e:  # pragma: no cover — bench must always print
+        extras["sweep_throughput_error"] = f"{type(e).__name__}: {e}"[:200]
+    probe = measure_warm_process()
+    if probe:
+        extras["warm_process_setup_s"] = probe["setup_s"]
+        extras["warm_process_detail"] = probe
 
     out = {
         "metric": "heat_train_iters_per_sec",
@@ -202,4 +322,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--warm-probe" in sys.argv:
+        warm_probe()
+        sys.exit(0)
     sys.exit(main())

@@ -90,6 +90,60 @@ def _polish_and_select(problem, model, stacked, val_losses, seed, steps,
     return best[1], best[2], best[3]
 
 
+def _fused_route(problem, model, batch_size) -> str:
+    """Which fused engine serves (problem, model): "dgm" or "engine".
+
+    Raises an error naming the engine whose requirements ALMOST matched —
+    a combo that just misses the DGM engine's conditions (fitzhugh_nagumo
+    fourier_mlp arch, fredholm montecarlo quadrature) must not fall through
+    to the generic MLP engine and surface ITS error, which never mentions
+    the condition that actually failed."""
+    from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
+
+    if type(model).__name__ == "HardConstraint":
+        # heat/wave/poisson hard constraints have interior-only fused specs
+        # (the analytic ansatz derivatives compose in the spec loss);
+        # other ansatz-wrapped models train on the scan engine.
+        if (fused_engine.spec_for(problem) is not None
+                and fused_engine.supports(problem, model)):
+            return "engine"
+        raise ValueError(
+            f"{problem.name!r} with constraint='hard' trains on the scan "
+            f"engine (fused hard-constraint specs exist for "
+            f"{sorted(fused_engine.HARD_SPECS)} with the default ansatz + "
+            f"plain tanh MLP)")
+    dgm_spec = fused_dgm.spec_for(problem, batch_size)
+    if dgm_spec is not None:
+        if fused_dgm.supports(problem, model, batch_size):
+            return "dgm"
+        raise ValueError(
+            f"{problem.name!r}'s fused path is the DGM engine, which needs "
+            f"a DGM model with {dgm_spec.act!r} gates (got "
+            f"{type(model).__name__}); pass model=None for the default, or "
+            f"use engine='scan'")
+    if problem.name == "fredholm":
+        raise ValueError(
+            "fredholm's fused path is the DGM engine, which needs "
+            "quadrature='gauss' (the montecarlo mode draws fresh nodes per "
+            "step — compile-time node scalars are impossible); drop "
+            "quadrature='montecarlo' or use engine='scan'")
+    if problem.name == "fitzhugh_nagumo":
+        raise ValueError(
+            "fitzhugh_nagumo's fused path is the DGM engine, which needs "
+            "arch='dgm' (the fourier_mlp arch trains on the scan engine); "
+            "drop arch= or use engine='scan'")
+    if fused_engine.spec_for(problem) is None:
+        raise ValueError(
+            f"no fused-engine spec for equation {problem.name!r} "
+            f"(available: {sorted(fused_engine.SPECS)}); use engine='scan'")
+    if not fused_engine.supports(problem, model):
+        raise ValueError(
+            f"{problem.name!r}'s fused path is the generic MLP engine, "
+            f"which needs a plain tanh MLP (no BatchNorm, no Fourier "
+            f"features; got {type(model).__name__}); use engine='scan'")
+    return "engine"
+
+
 def solve(equation: str | Problem, *, iterations: int | None = None,
           batch_size: int | None = None, lrate: float | None = None,
           nodes: int | None = None, seed: int = 0, model=None, mesh=None,
@@ -160,53 +214,76 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             finetune = auto_ft
     model = model or problem.default_model()
 
-    if engine == "fused" and ensemble > 1 and mesh is not None:
-        raise ValueError("engine='fused' ensembles are single-chip "
-                         "(drop mesh, or use the scan engine)")
     state = None
-    if engine == "fused" and type(model).__name__ == "HardConstraint":
-        raise ValueError("hard-constraint trial functions train on the scan "
-                         "engine (the fused kernels read the raw MLP/DGM "
-                         "structure)")
+    if engine == "fused" and ensemble <= 1:
+        _fused_route(problem, model, config.batch_size)  # informative errors
     if ensemble > 1 and engine == "fused":
-        # Fused-kernel ensemble: ONE AOT-compiled executable, one dispatch
-        # per replica (independent inits keyed by replica index, shared
-        # collocation stream) — kernel-speed multi-start for the
-        # init-sensitive architectures.
-        import time as _time
+        route = _fused_route(problem, model, config.batch_size)
+        if mesh is not None:
+            # Sharded fused ensemble: replicas distributed over the mesh's
+            # 'pop' axis via shard_map, each running its whole training
+            # loop inside its own Mosaic kernel (zero cross-replica comms).
+            from differential_equations_dnn_tpu.kernels import (
+                fused_dgm,
+                fused_engine,
+            )
 
-        import jax.numpy as jnp
-
-        from differential_equations_dnn_tpu.kernels import fused_dgm
-
-        t0 = _time.perf_counter()
-        if fused_dgm.supports(problem, model, config.batch_size):
-            eval_fn = fused_dgm.make_trial_evaluator(
-                problem, jax.random.key(seed), config.iterations,
-                batch_size=config.batch_size, lrate=config.lrate,
-                model=model, precision=precision, schedule=config.schedule)
-            unpack = fused_dgm.unpack_dgm
+            timings = {}
+            train_ens = (fused_dgm.train_dgm_fused_ensemble
+                         if route == "dgm"
+                         else fused_engine.train_fused_ensemble)
+            stacked, losses_nr = train_ens(
+                problem, jax.random.key(seed), config.iterations, ensemble,
+                mesh=mesh, batch_size=config.batch_size, lrate=config.lrate,
+                model=model, precision=precision, schedule=config.schedule,
+                timings=timings)
+            losses = losses_nr.T  # [iters, ensemble] for selection below
+            wall_time = timings.get("run_time", 0.0)
+            compile_time = timings.get("compile_time", 0.0)
+            stacked_state = None
         else:
-            from differential_equations_dnn_tpu.kernels import fused_engine
+            # Single-chip fused ensemble: ONE AOT-compiled executable, one
+            # dispatch per replica (independent inits keyed by replica
+            # index, shared collocation stream) — kernel-speed multi-start
+            # compiling in seconds where an N-wide vmapped program takes
+            # minutes.
+            import time as _time
 
-            _ev = fused_engine.make_lr_evaluator(
-                problem, jax.random.key(seed), config.iterations,
-                batch_size=config.batch_size, model=model,
-                precision=precision, schedule=config.schedule)
-            eval_fn = lambda t: _ev(t, config.lrate)
-            unpack = lambda fl: fused_engine.unpack_params(model, fl)
-        compile_time = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        hists, outs = [], []
-        for t in range(ensemble):
-            lo, flat = eval_fn(t)
-            hists.append(lo)
-            outs.append(flat)
-        wall_time = _time.perf_counter() - t0
-        stacked = unpack(tuple(jnp.stack([o[k] for o in outs])
-                               for k in range(len(outs[0]))))
-        losses = np.stack(hists, axis=1)
-        stacked_state = None
+            import jax.numpy as jnp
+
+            from differential_equations_dnn_tpu.kernels import fused_dgm
+
+            t0 = _time.perf_counter()
+            if route == "dgm":
+                eval_fn = fused_dgm.make_trial_evaluator(
+                    problem, jax.random.key(seed), config.iterations,
+                    batch_size=config.batch_size, lrate=config.lrate,
+                    model=model, precision=precision,
+                    schedule=config.schedule)
+                unpack = fused_dgm.unpack_dgm
+            else:
+                from differential_equations_dnn_tpu.kernels import (
+                    fused_engine,
+                )
+
+                _ev = fused_engine.make_lr_evaluator(
+                    problem, jax.random.key(seed), config.iterations,
+                    batch_size=config.batch_size, model=model,
+                    precision=precision, schedule=config.schedule)
+                eval_fn = lambda t: _ev(t, config.lrate)
+                unpack = lambda fl: fused_engine.unpack_params(model, fl)
+            compile_time = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            hists, outs = [], []
+            for t in range(ensemble):
+                lo, flat = eval_fn(t)
+                hists.append(lo)
+                outs.append(flat)
+            wall_time = _time.perf_counter() - t0
+            stacked = unpack(tuple(jnp.stack([o[k] for o in outs])
+                                   for k in range(len(outs[0]))))
+            losses = np.stack(hists, axis=1)
+            stacked_state = None
     elif ensemble > 1:
         import jax.numpy as jnp
 
@@ -269,7 +346,8 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
                 raise ValueError("engine='fused' is single-chip")
             from differential_equations_dnn_tpu.kernels import fused_dgm
 
-            if problem.name == "heat":
+            if (problem.name == "heat"
+                    and getattr(problem, "constraint", "soft") == "soft"):
                 from differential_equations_dnn_tpu.kernels.fused_train import (
                     train_heat_fused_result,
                 )

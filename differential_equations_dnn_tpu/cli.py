@@ -388,9 +388,30 @@ def _cmd_sweep(args):
     elif args.scheduler == "tpe-fused":
         if args.mesh:
             raise SystemExit("--scheduler tpe-fused is single-chip")
+        space = None  # lr-only default
+        if args.space == "full":
+            from differential_equations_dnn_tpu.kernels import (
+                fused_dgm,
+                fused_engine,
+            )
+            from differential_equations_dnn_tpu.sweep import (
+                heat_search_space,
+            )
+
+            # The full reference space rides the runtime-masked MLP
+            # evaluator; the DGM engine is lr-only — fall back with a note.
+            if (fused_engine.spec_for(problem) is not None
+                    and not fused_dgm.supports(
+                        problem, None, problem.defaults.batch_size)):
+                space = heat_search_space()
+            else:
+                print(f"[{args.equation}] DGM fused engine is lr-only; "
+                      f"sweeping the learning rate (use --scheduler tpe "
+                      f"for the full space)")
         result = tpe_search_fused(
             problem, key, num_samples=args.num_samples,
-            max_iters=args.max_iters, seed=args.seed,
+            max_iters=args.max_iters, seed=args.seed, space=space,
+            max_batch_size=args.max_batch_size,
         )
     else:
         result = random_search(
@@ -530,10 +551,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "tpe = adaptive model-based (the reference's "
                         "OptunaSearch role, optimize_heat_ray.py:179); "
                         "tpe-asha = both composed (the reference's full "
-                        "scheduler pairing); tpe-fused = TPE over the lr "
-                        "with every trial trained to the FULL budget inside "
-                        "the fused Pallas kernel (one compile, ~0.22 s per "
-                        "full-budget trial; fused-spec equations only)")
+                        "scheduler pairing); tpe-fused = TPE with every "
+                        "trial trained to its own budget inside the fused "
+                        "Pallas kernel (one compile for the whole space — "
+                        "lr, batch_size and n_iters are runtime scalars; "
+                        "fused-spec equations only)")
+    p.add_argument("--space", choices=["full", "lr"], default="full",
+                   help="tpe-fused search space: full = the reference's "
+                        "batch_size/n_iters/lrate "
+                        "(optimize_heat_ray.py:173-176, runtime-masked); "
+                        "lr = learning rate only (fixed-shape evaluator)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
     p.add_argument("--results-dir", type=str, default="temp_results")

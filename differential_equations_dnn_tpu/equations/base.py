@@ -109,8 +109,13 @@ class Problem:
     def evaluate(self, apply_fn, params, nodes):
         """Evaluate the trained net on the problem's grid: ONE batched
         forward, reshaped to the solution grid."""
+        from differential_equations_dnn_tpu.kernels.aot_cache import (
+            cached_call,
+        )
+
         inputs = self.grid_inputs(nodes)
-        y = jax.jit(apply_fn)(params, inputs)
+        y = cached_call(jax.jit(apply_fn), params, inputs,
+                        label=f"eval-{self.name}")
         return np.asarray(y).reshape(self.solution_shape(nodes))
 
     def mae(self, apply_fn, params, nodes):

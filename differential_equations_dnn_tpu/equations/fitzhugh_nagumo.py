@@ -54,6 +54,17 @@ class FitzHughNagumo(Problem):
         default_factory=lambda: TrainDefaults(iterations=150_000, batch_size=100, nodes=50)
     )
     constraint: str = "soft"  # "hard" = s(0) pinned exactly via t*N(t)
+    # Causal residual weighting (Wang, Sankaran & Perdikaris 2022,
+    # "Respecting causality is all you need"): weight the residual at time
+    # t_i by exp(−ε · Σ_{j<i} ℓ_j·Δt) — points are only trained once the
+    # solution BEFORE them is already resolved. This removes the DGM
+    # arch's multi-stability (a single run used to land anywhere in MAE
+    # [0.005, 0.76]; the physics residual converges to ~2e-4 on a wrong
+    # branch because nothing orders the fit in time). 0 disables.
+    # Collocation in causal mode is STRATIFIED-uniform (t_i ∈ the i-th of
+    # B equal slices of [0, t_max]) so the batch is time-sorted by
+    # construction and the cumulative sum approximates ∫₀^t ℓ dt.
+    causal_eps: float = 5.0
 
     def default_model(self):
         if self.arch == "fourier_mlp":
@@ -90,6 +101,16 @@ class FitzHughNagumo(Problem):
         return self.grid_points
 
     def sample(self, key, n):
+        if self.causal_eps > 0.0:
+            # Stratified-uniform: one draw per equal slice of [0, t_max] —
+            # time-sorted by construction (the causal cumsum needs ordered
+            # residuals) and gap-free (the reference's fixed 200-point grid
+            # admits nets that oscillate between grid points).
+            import jax
+
+            u = jax.random.uniform(key, (n, 1))
+            t = (jnp.arange(n, dtype=u.dtype)[:, None] + u) * (self.t_max / n)
+            return {"t": t, "t0": jnp.zeros((n, 1))}
         sampler = GridSubsample(0.0, self.t_max, self.grid_points)
         return {"t": sampler.sample(key, n), "t0": jnp.zeros((n, 1))}
 
@@ -102,7 +123,8 @@ class FitzHughNagumo(Problem):
         t = self.t_max * jax.random.uniform(key, (n, 1))
         return {"t": t, "t0": jnp.zeros((n, 1))}
 
-    def point_loss(self, apply_fn, params, batch):
+    def _residuals(self, apply_fn, params, batch):
+        """Per-point residual energy ℓ_i = r_y² + r_w² [B] and IC energy [B]."""
         t, t0 = batch["t"], batch["t0"]
         s, dsdt = time_jacobian(lambda z: apply_fn(params, z), t)
         y, w = s[:, :1], s[:, 1:]
@@ -111,10 +133,37 @@ class FitzHughNagumo(Problem):
         r_y = dy + (y**3 / 3.0 + w - self.i_ext - y)
         r_w = dw + (self.beta * w - self.alpha - y) / self.tau
         s0 = apply_fn(params, t0)
+        ic = jnp.mean(jnp.square(s0 - self.y_ic), axis=1)
+        return jnp.square(r_y)[:, 0] + jnp.square(r_w)[:, 0], ic
+
+    def point_loss(self, apply_fn, params, batch):
         # Pointwise sum whose mean equals the reference's
         # mse(r_y)+mse(r_w)+mse(s0−y_ic) (fitzhugh_nagumo.py:93-97).
-        ic = jnp.mean(jnp.square(s0 - self.y_ic), axis=1)
-        return jnp.square(r_y)[:, 0] + jnp.square(r_w)[:, 0] + ic
+        res, ic = self._residuals(apply_fn, params, batch)
+        return res + ic
+
+    def loss(self, apply_fn, params, batch, mask=None):
+        """Causal-weighted residual loss (``causal_eps > 0``; Wang et al.
+        2022): L = mean_i(w_i·ℓ_i) + mse(IC) with
+        w_i = stop_grad(exp(−ε·Δt·Σ_{j<i} ℓ_j)) over the TIME-SORTED batch.
+        The weights gate each point on how well the trajectory before it is
+        already fit, so training marches forward in time and cannot settle
+        on a spurious branch; as the residual converges, w → 1 and the loss
+        anneals back to the reference objective. Masked (population) calls
+        keep the reference loss — causal is a single-run training protocol."""
+        if self.causal_eps <= 0.0 or mask is not None:
+            return super().loss(apply_fn, params, batch, mask)
+        import jax
+
+        res, ic = self._residuals(apply_fn, params, batch)
+        t = batch["t"][:, 0]
+        order = jnp.argsort(t)  # stratified batches are already sorted
+        res_s = res[order]
+        dt = self.t_max / res.shape[0]
+        cum = jnp.concatenate([jnp.zeros((1,), res.dtype),
+                               jnp.cumsum(res_s[:-1])]) * dt
+        wgt = jax.lax.stop_gradient(jnp.exp(-self.causal_eps * cum))
+        return jnp.mean(wgt * res_s) + jnp.mean(ic)
 
     def grid_inputs(self, nodes):
         return jnp.linspace(0.0, self.t_max, nodes)[:, None]

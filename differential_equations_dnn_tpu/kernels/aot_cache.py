@@ -1,0 +1,123 @@
+"""Disk cache of compiled TPU executables (AOT reuse across processes).
+
+The deployment environment compiles through a remote helper that stalls
+200-460 s AT RANDOM on any first-time compilation — and the JAX
+source-level persistent cache is unusable there (it hangs the device
+tunnel). The PJRT executable-serialization route is not: a compiled
+``jax.stages.Compiled`` pickles via ``jax.experimental
+.serialize_executable`` and reloads in a fresh process in ~0.3 s with
+bit-identical numerics (measured round 3: kernel deserialize 0.32 s,
+first dispatch 0.00 s, outputs equal bit-for-bit).
+
+``cached_compile(jitted, *args)`` is a drop-in for
+``jitted.lower(*args).compile()``:
+
+* key = sha256(jax version + device kind + the lowered StableHLO text) —
+  lowering is pure host-side tracing (the remote helper is only involved
+  in ``compile()``), so cache lookup never risks a stall;
+* hit  → ``deserialize_and_load`` (~0.1-0.3 s, no remote compile at all);
+* miss → compile, then serialize + atomically write for the next process;
+* any serialize/deserialize failure falls back to a plain compile —
+  the cache can only ever add speed, never break a run.
+
+Enabled on single-process TPU backends only (the CPU test sim uses JAX's
+own persistent cache; multi-host processes must not share one file key).
+Set ``DEQ_AOT_CACHE=0`` to disable, or point ``DEQ_AOT_CACHE`` at a
+directory to relocate (default ``~/.cache/deq_tpu_aot``).
+"""
+
+import hashlib
+import os
+import pickle
+import tempfile
+
+import jax
+
+_SENTINEL = object()
+_status = {"hits": 0, "misses": 0, "fallbacks": 0}
+
+
+def cache_dir() -> str:
+    env = os.environ.get("DEQ_AOT_CACHE", "")
+    if env and env != "0":
+        return env
+    return os.path.expanduser("~/.cache/deq_tpu_aot")
+
+
+def enabled() -> bool:
+    if os.environ.get("DEQ_AOT_CACHE", "") == "0":
+        return False
+    try:
+        if jax.process_count() > 1:
+            return False
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def stats() -> dict:
+    return dict(_status)
+
+
+def _key(lowered) -> str:
+    dev = jax.devices()[0]
+    ident = "\x00".join([
+        jax.__version__,
+        getattr(dev, "device_kind", "unknown"),
+        lowered.as_text(),
+    ])
+    return hashlib.sha256(ident.encode()).hexdigest()[:32]
+
+
+def cached_compile(jitted, *args, label: str = "prog", **kwargs):
+    """``jitted.lower(*args, **kwargs).compile()`` with disk executable
+    reuse. Works with any ``jax.jit``-wrapped callable (static argnames
+    ride ``kwargs``)."""
+    lowered = jitted.lower(*args, **kwargs)
+    if not enabled():
+        return lowered.compile()
+    from jax.experimental import serialize_executable as se
+
+    path = os.path.join(cache_dir(), f"{label}-{_key(lowered)}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+            _status["hits"] += 1
+            return compiled
+        except Exception:
+            # Stale artifact (runtime/driver change, truncated write):
+            # recompile and overwrite below.
+            _status["fallbacks"] += 1
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    compiled = lowered.compile()
+    _status["misses"] += 1
+    _persist(compiled, path)
+    return compiled
+
+
+def cached_call(jitted, *args, label: str = "prog", **kwargs):
+    """Compile ``jitted`` through the cache and immediately invoke it with
+    the dynamic ``args`` (AOT Compiled objects take only the dynamic
+    arguments — the static ``kwargs`` were fixed at lowering time)."""
+    return cached_compile(jitted, *args, label=label, **kwargs)(*args)
+
+
+def _persist(compiled, path):
+    from jax.experimental import serialize_executable as se
+
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(cache_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)
+    except Exception:
+        # Unserializable program (const-closed executables etc.) — the
+        # compile itself succeeded, so just return it.
+        _status["fallbacks"] += 1

@@ -18,11 +18,17 @@ module holds the one kernel body and ``pallas_call`` layout they share:
 * the base lr is a RUNTIME SMEM scalar (lr sweeps reuse one executable);
   cosine/exponential schedules are computed per step in-kernel;
 * optional ``const`` operand (constant index_map VMEM block) for
-  quadrature nodes/weights and similar per-run constants.
+  quadrature nodes/weights and similar per-run constants;
+* optional RUNTIME ``batch_size`` / ``n_steps`` SMEM scalars (sweep
+  evaluators: the full reference search space through ONE executable —
+  rows ≥ batch_size are masked out of the loss exactly like the vmapped
+  population path, and steps ≥ n_steps skip their update entirely).
 
 ``step_math(params, u_slice, const) -> (loss, grads)`` is the only piece
-each engine supplies; the specialised heat kernel (fused_train) predates
-this core and keeps its own tuned copy.
+each engine supplies (with runtime masking it is called as
+``step_math(params, u_slice, const, mask01, inv_bs)`` and must return the
+mask-weighted partial sums); the specialised heat kernel (fused_train)
+predates this core and keeps its own tuned copy.
 """
 
 import functools
@@ -40,9 +46,14 @@ from differential_equations_dnn_tpu.kernels.fused_train import (
 
 
 def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
-                      has_const, step0_ref, lr_ref, u_ref, *refs):
+                      has_const, has_runtime, step0_ref, lr_ref, *rest):
     """Generic kernel body: S Adam steps per grid cell over ``n_tensors``
     parameter tensors, with ``step_math`` supplying loss + grads."""
+    if has_runtime:
+        bs_ref, nsteps_ref, u_ref, *refs = rest
+    else:
+        bs_ref = nsteps_ref = None
+        u_ref, *refs = rest
     idx = 0
     const_ref = None
     if has_const:
@@ -64,44 +75,74 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
             p_out[k][:] = p_in[k][:]
             m_out[k][:] = m_in[k][:]
             v_out[k][:] = v_in[k][:]
+        if has_runtime:
+            # Cells past n_steps skip their loss writes; zero the whole
+            # history block up front so those rows read as 0, not garbage.
+            loss_ref[:] = jnp.zeros(loss_ref.shape, jnp.float32)
 
     def body(s, _):
-        params = tuple(p_out[k][:] for k in range(n_tensors))
-        const = const_ref[:] if has_const else None
-        tile = B // T
-        loss, grads = step_math(params, u_ref[s, :tile], const)
-        for t in range(1, T):
-            loss_t, grads_t = step_math(
-                params, u_ref[s, t * tile:(t + 1) * tile], const)
-            loss = loss + loss_t
-            grads = tuple(g + gt for g, gt in zip(grads, grads_t))
-        if T > 1:
-            inv = 1.0 / T
-            loss = loss * inv
-            grads = tuple(g * inv for g in grads)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = loss_ref[pl.ds(i, 1), :]
-        loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
-        step = i * S + s
+        def do_step():
+            params = tuple(p_out[k][:] for k in range(n_tensors))
+            const = const_ref[:] if has_const else None
+            tile = B // T
 
-        t = (step0_ref[0] + step + 1).astype(jnp.float32)
-        lr = lr_ref[0]
-        # Per-step learning rate (matches train.trainer's optax schedules:
-        # cosine_decay_schedule / exponential_decay with end value lr·decay).
-        if schedule == "cosine":
-            frac = jnp.minimum((t - 1.0) / total, 1.0)
-            lr_t = lr * (decay + (1.0 - decay) * 0.5
-                         * (1.0 + jnp.cos(math.pi * frac)))
-        elif schedule == "exponential":
-            lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
+            def tile_math(t):
+                u_slice = u_ref[s, t * tile:(t + 1) * tile]
+                if not has_runtime:
+                    return step_math(params, u_slice, const)
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+                        + t * tile)
+                mask01 = (rows < bs_ref[0]).astype(jnp.float32)
+                inv_bs = 1.0 / bs_ref[0].astype(jnp.float32)
+                return step_math(params, u_slice, const, mask01, inv_bs)
+
+            loss, grads = tile_math(0)
+            for t in range(1, T):
+                loss_t, grads_t = tile_math(t)
+                loss = loss + loss_t
+                grads = tuple(g + gt for g, gt in zip(grads, grads_t))
+            if T > 1 and not has_runtime:
+                # Equal-size tiles: the mean of tile means is the batch
+                # mean. (Runtime masking returns /bs partial sums instead,
+                # which accumulate without rescaling.)
+                inv = 1.0 / T
+                loss = loss * inv
+                grads = tuple(g * inv for g in grads)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            # First step of the cell: seed from zeros, not the uninitialised
+            # VMEM output block — lanes >= S would otherwise carry garbage
+            # (correct while sliced off by out[0][:, :S], but fragile).
+            row = jnp.where(s == 0, jnp.zeros((1, 128), jnp.float32),
+                            loss_ref[pl.ds(i, 1), :])
+            loss_ref[pl.ds(i, 1), :] = jnp.where(lane == s, loss, row)
+            step = i * S + s
+
+            t = (step0_ref[0] + step + 1).astype(jnp.float32)
+            lr = lr_ref[0]
+            # Per-step learning rate (matches train.trainer's optax
+            # schedules: cosine_decay_schedule / exponential_decay with end
+            # value lr·decay).
+            if schedule == "cosine":
+                frac = jnp.minimum((t - 1.0) / total, 1.0)
+                lr_t = lr * (decay + (1.0 - decay) * 0.5
+                             * (1.0 + jnp.cos(math.pi * frac)))
+            elif schedule == "exponential":
+                lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
+            else:
+                lr_t = lr
+            for k in range(n_tensors):
+                p_new, m_new, v_new = _adam_update(
+                    p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
+                p_out[k][:] = p_new
+                m_out[k][:] = m_new
+                v_out[k][:] = v_new
+
+        if has_runtime:
+            # Steps at or past the trial's own budget are no-ops: the
+            # params/moments/history freeze at exactly the n_steps-state.
+            pl.when(i * S + s < nsteps_ref[0])(do_step)
         else:
-            lr_t = lr
-        for k in range(n_tensors):
-            p_new, m_new, v_new = _adam_update(
-                p_out[k][:], m_out[k][:], v_out[k][:], grads[k], lr_t, t)
-            p_out[k][:] = p_new
-            m_out[k][:] = m_new
-            v_out[k][:] = v_new
+            do_step()
         return 0
 
     jax.lax.fori_loop(0, S, body, 0)
@@ -109,16 +150,27 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
 
 def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
                     S, T=1, const=None, schedule="constant", total_steps=1,
-                    decay=0.1):
+                    decay=0.1, runtime_bs=None, runtime_steps=None):
     """Run ``K = uniforms.shape[0]`` Adam steps inside one Pallas kernel
     (``S`` steps per grid cell, must divide K; ``T`` gradient-accumulation
-    tiles per batch). Returns (params, m, v, losses [K])."""
+    tiles per batch). Returns (params, m, v, losses [K]).
+
+    ``runtime_bs`` / ``runtime_steps`` (traced int scalars) switch on the
+    runtime-masked sweep mode: rows ≥ runtime_bs are excluded from the
+    loss/gradient, and steps ≥ runtime_steps do nothing — one compiled
+    executable evaluates any (batch_size ≤ B, n_iters ≤ K) trial."""
     K, B, U = uniforms.shape
     n_tensors = len(shapes)
+    has_runtime = runtime_bs is not None or runtime_steps is not None
+    if has_runtime:
+        if runtime_bs is None:
+            runtime_bs = B
+        if runtime_steps is None:
+            runtime_steps = K
 
     kernel = functools.partial(fused_adam_kernel, step_math, n_tensors, B,
                                S, T, schedule, float(total_steps),
-                               float(decay), const is not None)
+                               float(decay), const is not None, has_runtime)
 
     state_specs = [
         pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),
@@ -131,6 +183,12 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
                                 memory_space=pltpu.VMEM)]
                   if const is not None else [])
     const_arg = (const,) if const is not None else ()
+    smem = lambda: pl.BlockSpec((1,), lambda i: (0,),
+                                memory_space=pltpu.SMEM)
+    runtime_specs = [smem(), smem()] if has_runtime else []
+    runtime_args = ((jnp.asarray(runtime_bs, jnp.int32).reshape(1),
+                     jnp.asarray(runtime_steps, jnp.int32).reshape(1))
+                    if has_runtime else ())
 
     out = pl.pallas_call(
         kernel,
@@ -141,8 +199,8 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=(
-            [pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)]
+            [smem(), smem()]
+            + runtime_specs
             + [pl.BlockSpec((S, B, U), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)]
             + const_spec
@@ -159,8 +217,8 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
         ),
         interpret=_interpret(),
     )(jnp.asarray([step0], jnp.int32),
-      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *const_arg,
-      *params, *m, *v)
+      jnp.asarray(lrate, jnp.float32).reshape(1), *runtime_args, uniforms,
+      *const_arg, *params, *m, *v)
 
     losses = out[0][:, :S].reshape(-1)
     n = n_tensors

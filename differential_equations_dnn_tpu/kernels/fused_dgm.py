@@ -40,6 +40,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from differential_equations_dnn_tpu.kernels.aot_cache import (
+    cached_call,
+    cached_compile,
+)
 from differential_equations_dnn_tpu.kernels.fused_engine import (
     Group,
     _bias_mask,
@@ -287,10 +291,16 @@ def dgm_step_math(spec, params, u, B, L, precision=_HIGH):
 class FNDGMSpec:
     """FitzHugh–Nagumo system, DGM parity arch (equations.fitzhugh_nagumo;
     reference fitzhugh_nagumo.py:53-97). Streams: interior value + time
-    tangent, plus the t=0 IC forward. Collocation is continuous-uniform on
-    [0, t_max] (the scan path reproduces the reference's fixed-grid
-    subsampling; continuous draws avoid grid-gap oscillation and train to
-    the same loss)."""
+    tangent, plus the t=0 IC forward.
+
+    With ``p.causal_eps > 0`` (the default) the spec mirrors the
+    equation's CAUSAL training protocol exactly: collocation is
+    stratified-uniform (slice i of [0, t_max] → time-sorted by
+    construction) and the residual at t_i is weighted by
+    exp(−ε·Δt·Σ_{j<i} ℓ_j). The exclusive cumulative sum is ONE matmul
+    with a strictly-lower-triangular constant — a scan/loop cumsum would
+    serialize on the VPU — and the weights are stop_gradient'd, so the
+    hand-derived VJP still only sees an elementwise cotangent."""
     p: object
     n_uniform: int = 1
     n_const: int = 0
@@ -298,7 +308,12 @@ class FNDGMSpec:
     groups = (Group(n_first=1), Group())
 
     def build(self, u):
-        t = self.p.t_max * u[:, :1]
+        if self.p.causal_eps > 0.0:
+            B = u.shape[0]
+            i = jax.lax.broadcasted_iota(u.dtype, (B, 1), 0)
+            t = (i + u[:, :1]) * (self.p.t_max / B)
+        else:
+            t = self.p.t_max * u[:, :1]
         one = jnp.ones_like(t)
         zero = jnp.zeros_like(t)
         X = jnp.concatenate([t, one, zero], 0)
@@ -318,9 +333,25 @@ class FNDGMSpec:
         f_y = sv ** 3 / 3.0 + rev - p.i_ext - sv          # col 0 (y, w=rev)
         f_w = (p.beta * sv - p.alpha - rev) / p.tau       # col 1 (w, y=rev)
         r = dsdt + jnp.where(col == 0, f_y, f_w)
-        # mean(r_y²)+mean(r_w²)+mean((s0−ic)²) = 2·mean_full(r²) + ...
-        return (2.0 * jnp.mean(jnp.square(r))
-                + jnp.mean(jnp.square(s0 - p.y_ic)))
+        r2 = jnp.square(r)
+        ic = jnp.mean(jnp.square(s0 - p.y_ic))
+        if p.causal_eps <= 0.0:
+            # mean(r_y²)+mean(r_w²)+mean((s0−ic)²) = 2·mean_full(r²) + ...
+            return 2.0 * jnp.mean(r2) + ic
+        # Causal weights w_i = exp(−ε·Δt·Σ_{j<i} ℓ_j), ℓ = r_y² + r_w²:
+        # rows are time-sorted (stratified build), the exclusive cumsum is
+        # a strictly-lower-triangular matmul, and the per-row sum ℓ rides
+        # a [2,1] ones matmul (no column slicing). All under stop_gradient.
+        B = r2.shape[0]
+        ell = jnp.dot(jax.lax.stop_gradient(r2),
+                      jnp.ones((2, 1), r2.dtype), precision=_HIGH)
+        rb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        cb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        tri = jnp.where(rb > cb, 1.0, 0.0).astype(r2.dtype)
+        cum = jnp.dot(tri, ell, precision=_HIGH) * (p.t_max / B)
+        wgt = jax.lax.stop_gradient(jnp.exp(-p.causal_eps * cum))
+        # mean_i(w_i·ℓ_i) = 2·mean over [B,2] of (w ⊙ r²).
+        return 2.0 * jnp.mean(wgt * r2) + ic
 
 
 @dataclass(frozen=True)
@@ -486,10 +517,11 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
         const = _fredholm_const(problem, batch_size, spec.n_groups)
 
     init_key, run_key = jax.random.split(key)
-    uniforms = jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
-    )(jnp.arange(iterations))
+    )(jnp.arange(iterations)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
 
     common = dict(const=const, steps_per_cell=steps_per_cell,
                   schedule=schedule, total_steps=iterations, decay=decay)
@@ -511,11 +543,13 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
             spec, model, flat, m, v, u, 0, lrate=lr,
             precision=_PRECISIONS[precision], **common)
 
-    jinit = jax.jit(model.init)
+    jinit = cached_compile(jax.jit(model.init),
+                           jax.random.fold_in(init_key, 0), label="init")
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = jax.jit(run).lower(flat0, zeros, zeros, uniforms,
-                                  jnp.float32(0.0)).compile()
+    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
+                              uniforms, jnp.float32(0.0),
+                              label=f"dgmev-{problem.name}")
 
     def eval_fn(trial_index: int, lr: float | None = None):
         # The base lr is a runtime SMEM scalar: sweeping it reuses this
@@ -603,7 +637,7 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
 
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_dgm(params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -627,8 +661,9 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = draw(start_step, chunk)
-    compiled = run.lower(flat, m, v, u0, start_step).compile()
+    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    compiled = cached_compile(run, flat, m, v, u0, start_step,
+                              label=f"dgm-{problem.name}")
     compile_time = time.perf_counter() - t0
 
     losses_out = []
@@ -672,7 +707,7 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
 
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_dgm(params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -703,9 +738,10 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = draw(start_step, n1)
-    u2 = draw(start_step + n1, n2)
-    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    u1 = cached_call(draw, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
+                              label=f"dgmmx-{problem.name}")
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -726,7 +762,8 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                              batch_size=100, lrate=1e-4, model=None,
                              steps_per_cell: int | None = None,
                              precision: str = "highest",
-                             schedule: str | None = None, decay: float = 0.1):
+                             schedule: str | None = None, decay: float = 0.1,
+                             timings: dict | None = None):
     """DGM counterpart of fused_engine.train_fused_ensemble: N
     independently-initialised replicas, EACH running its whole training
     loop inside its own Mosaic kernel, sharded over ``mesh``'s 'pop' axis
@@ -746,8 +783,6 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
             f"fused DGM engine needs a DGM model with {spec.act!r} gates")
     if schedule is None:
         schedule = problem.defaults.schedule
-    if precision == "mixed":
-        precision = "highest"  # per-replica mixed phases: use the solve path
 
     const = None
     if isinstance(spec, FredholmDGMSpec):
@@ -757,10 +792,34 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
     stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
     flat = pack_dgm(stacked)  # tuple of [n_replicas, ...] tensors
 
-    uniforms = jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
-    )(jnp.arange(iterations))
+    )(jnp.arange(iterations)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+
+    common = dict(lrate=lrate, const=const, steps_per_cell=steps_per_cell,
+                  schedule=schedule, total_steps=iterations, decay=decay)
+    n1 = int(iterations * 0.65) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+
+    def _train_one(p, m, v, u):
+        # Mixed precision runs the same two-phase chain per replica as
+        # fused_engine.train_fused_ensemble (bf16 coarse + exact-fp32
+        # final, Adam state handed over bit-exactly inside one program).
+        if precision == "mixed":
+            p, m, v, l1 = fused_dgm_chunk(
+                spec, model, p, m, v, u[:n1], 0,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            p, m, v, l2 = fused_dgm_chunk(
+                spec, model, p, m, v, u[n1:], n1,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return p, jnp.concatenate([l1, l2])
+        p, _, _, lo = fused_dgm_chunk(
+            spec, model, p, m, v, u, 0,
+            precision=_PRECISIONS[precision], **common)
+        return p, lo
 
     def run_local(flat_local, u):
         outs_p, losses = [], []
@@ -769,11 +828,7 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
             p = tuple(t[j] for t in flat_local)
             m = tuple(jnp.zeros_like(t) for t in p)
             v = tuple(jnp.zeros_like(t) for t in p)
-            p, _, _, lo = fused_dgm_chunk(
-                spec, model, p, m, v, u, 0, lrate=lrate, const=const,
-                steps_per_cell=steps_per_cell,
-                precision=_PRECISIONS[precision], schedule=schedule,
-                total_steps=iterations, decay=decay)
+            p, lo = _train_one(p, m, v, u)
             outs_p.append(p)
             losses.append(lo)
         return (tuple(jnp.stack([o[k] for o in outs_p])
@@ -781,9 +836,14 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                 jnp.stack(losses))
 
     if mesh is None:
-        flat_out, losses = jax.jit(run_local)(flat, uniforms)
+        run = jax.jit(run_local)
     else:
         pop_axis = "pop"
+        if pop_axis not in mesh.shape:
+            raise ValueError(
+                f"fused ensembles shard replicas over a '{pop_axis}' mesh "
+                f"axis; the given mesh has axes {tuple(mesh.axis_names)} — "
+                f"build it with make_mesh({{'pop': N}})")
         n_shards = mesh.shape[pop_axis]
         if n_replicas % n_shards:
             raise ValueError(f"n_replicas {n_replicas} not divisible by "
@@ -793,11 +853,14 @@ def train_dgm_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                      for t in flat)
         # check_vma=False: pallas_call's out_shape structs carry no varying
         # -across-mesh annotation, which the vma checker (jax>=0.9) rejects.
-        shmap = jax.shard_map(
+        run = jax.jit(jax.shard_map(
             run_local, mesh=mesh,
             in_specs=(tuple(pspec for _ in flat), PartitionSpec()),
             out_specs=(tuple(pspec for _ in flat), pspec),
-            check_vma=False)
-        flat_out, losses = jax.jit(shmap)(flat, uniforms)
+            check_vma=False))
+    from differential_equations_dnn_tpu.kernels.fused_engine import (
+        _timed_ensemble_run,
+    )
 
+    flat_out, losses = _timed_ensemble_run(run, flat, uniforms, timings)
     return unpack_dgm(flat_out), np.asarray(losses)

@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from differential_equations_dnn_tpu.kernels.aot_cache import (
+    cached_call,
+    cached_compile,
+)
 from differential_equations_dnn_tpu.kernels.fused_train import (
     _N_TENSORS,
     _PRECISIONS,
@@ -161,14 +165,19 @@ def _act_bwd(groups, z, gr, B):
 # ---------------------------------------------------------------------------
 
 
-def engine_step_math(spec, params, u, B, L, precision=_HIGH):
+def engine_step_math(spec, params, u, B, L, precision=_HIGH,
+                     batch_mask=None, inv_bs=None):
     """One training step's loss and parameter gradients for any stream spec.
 
     ``params`` = the flat MLP tuple (w_in, b_in, w_hid, b_hid, w_out, b_out);
-    ``u`` = [B, spec.n_uniform] U[0,1) draws. Returns (loss, grads_tuple)."""
+    ``u`` = [B, spec.n_uniform] U[0,1) draws. Returns (loss, grads_tuple).
+    ``batch_mask`` [B, 1] + ``inv_bs`` switch the spec's loss to the
+    runtime-batch-size masked partial sum (sweep evaluators)."""
     groups = spec.groups
     w_in, b_in, w_hid, b_hid, w_out, b_out = params
     X, ctx = spec.build(u)
+    if batch_mask is not None:
+        ctx = {**ctx, "mask": batch_mask, "inv_bs": inv_bs}
     mask = _bias_mask(groups, B, X.dtype)
 
     # ---- forward, saving pre-activations only ----
@@ -220,6 +229,17 @@ def _cat(*cols):
     return jnp.concatenate(cols, axis=1)
 
 
+def _smean(q, ctx):
+    """Batch mean of a pointwise [B, 1] quantity, honouring the runtime
+    batch-size mask when the sweep evaluator installs one in ``ctx``
+    (rows ≥ batch_size are computed but excluded — the same masking the
+    vmapped population path applies in equations.base.Problem.loss)."""
+    mask = ctx.get("mask") if isinstance(ctx, dict) else None
+    if mask is None:
+        return jnp.mean(q)
+    return jnp.sum(q * mask) * ctx["inv_bs"]
+
+
 @dataclass(frozen=True)
 class SimpleODESpec:
     """dy/dt = −y, y(0) = y_ic (equations.simple_ode; ref simple_ode.py:41)."""
@@ -236,7 +256,8 @@ class SimpleODESpec:
 
     def loss(self, outs, ctx):
         y, dydt, y0 = outs
-        return jnp.mean(jnp.square(dydt + y) + jnp.square(y0 - self.p.y_ic))
+        return _smean(jnp.square(dydt + y)
+                      + jnp.square(y0 - self.p.y_ic), ctx)
 
 
 @dataclass(frozen=True)
@@ -263,8 +284,8 @@ class HeatSpec:
         u_, u_x, u_xx, u_t, u0, ub1, ub2 = outs
         r = u_t - self.p.kappa * u_xx
         r0 = u0 - jnp.sin(ctx["x"])
-        return jnp.mean(jnp.square(r) + jnp.square(r0)
-                        + jnp.square(ub1) + jnp.square(ub2))
+        return _smean(jnp.square(r) + jnp.square(r0)
+                      + jnp.square(ub1) + jnp.square(ub2), ctx)
 
 
 @dataclass(frozen=True)
@@ -296,8 +317,8 @@ class BurgersSpec:
         r_ic = u_ic - self.p._exact_fn(x, zero)
         r_b0 = ub0 - self.p._exact_fn(zero, t)
         r_b1 = ub1 - self.p._exact_fn(xmax, t)
-        return jnp.mean(jnp.square(r) + jnp.square(r_ic)
-                        + jnp.square(r_b0) + jnp.square(r_b1))
+        return _smean(jnp.square(r) + jnp.square(r_ic)
+                      + jnp.square(r_b0) + jnp.square(r_b1), ctx)
 
 
 @dataclass(frozen=True)
@@ -329,9 +350,9 @@ class WaveSpec:
         u_, u_x, u_xx, u_t, u_tt, u0, u0_t, ub1, ub2 = outs
         r = u_tt - (self.p.c ** 2) * u_xx
         r_pos = u0 - jnp.sin(ctx["x"])
-        return jnp.mean(jnp.square(r) + jnp.square(r_pos)
-                        + self.p.velocity_weight * jnp.square(u0_t)
-                        + jnp.square(ub1) + jnp.square(ub2))
+        return _smean(jnp.square(r) + jnp.square(r_pos)
+                      + self.p.velocity_weight * jnp.square(u0_t)
+                      + jnp.square(ub1) + jnp.square(ub2), ctx)
 
 
 @dataclass(frozen=True)
@@ -360,8 +381,8 @@ class PoissonSpec:
         u_, u_x, u_xx, u_y, u_yy, b1, b2, b3, b4 = outs
         src = 2.0 * jnp.sin(ctx["x"]) * jnp.sin(ctx["y"])
         r = -(u_xx + u_yy) - src
-        return jnp.mean(jnp.square(r) + jnp.square(b1) + jnp.square(b2)
-                        + jnp.square(b3) + jnp.square(b4))
+        return _smean(jnp.square(r) + jnp.square(b1) + jnp.square(b2)
+                      + jnp.square(b3) + jnp.square(b4), ctx)
 
 
 @dataclass(frozen=True)
@@ -396,8 +417,126 @@ class Heat2DSpec:
         u_, u_x, u_xx, u_y, u_yy, u_t, u0, b1, b2, b3, b4 = outs
         r = u_t - self.p.kappa * (u_xx + u_yy)
         r0 = u0 - jnp.sin(ctx["x"]) * jnp.sin(ctx["y"])
-        return jnp.mean(jnp.square(r) + jnp.square(r0) + jnp.square(b1)
-                        + jnp.square(b2) + jnp.square(b3) + jnp.square(b4))
+        return _smean(jnp.square(r) + jnp.square(r0) + jnp.square(b1)
+                      + jnp.square(b2) + jnp.square(b3) + jnp.square(b4),
+                      ctx)
+
+
+@dataclass(frozen=True)
+class HardHeatSpec:
+    """Heat equation with the HARD-constraint trial function
+    u = sin(x) + D·N, D = t·x·(x_max−x)/scale (models/hard.py
+    heat1d_ansatz). The constraints hold exactly for any params, so the
+    spec carries ONLY the interior group — R=5 streams vs the soft spec's
+    7; the fused hard path is structurally FASTER than soft. The ansatz
+    derivatives are analytic and composed in the loss:
+
+        u_t  = D_t·N + D·N_t
+        u_xx = A_xx + D_xx·N + 2·D_x·N_x + D·N_xx
+    """
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=1, n_first=1),)   # N, (N_x, N_xx), N_t
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero), _cat(zero, one),
+        ], 0)
+        return X, {"x": x, "t": t}
+
+    def loss(self, outs, ctx):
+        n, n_x, n_xx, n_t = outs
+        p = self.p
+        x, t = ctx["x"], ctx["t"]
+        scale = p.t_max * (p.x_max / 2.0) ** 2
+        g = x * (p.x_max - x)
+        D = t * g / scale
+        D_t = g / scale
+        D_x = t * (p.x_max - 2.0 * x) / scale
+        D_xx = -2.0 * t / scale
+        u_t = D_t * n + D * n_t
+        u_xx = -jnp.sin(x) + D_xx * n + 2.0 * D_x * n_x + D * n_xx
+        return _smean(jnp.square(u_t - p.kappa * u_xx), ctx)
+
+
+@dataclass(frozen=True)
+class HardWaveSpec:
+    """Wave equation, hard constraint u = sin(x) + D·N with
+    D = t²·x·(x_max−x)/scale (models/hard.py wave1d_ansatz — the t² factor
+    pins position AND velocity ICs exactly). Interior-only: R=5 vs soft's
+    9 streams."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=2),)   # N, (N_x, N_xx), (N_t, N_tt)
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero),
+            _cat(zero, one), _cat(zero, zero),
+        ], 0)
+        return X, {"x": x, "t": t}
+
+    def loss(self, outs, ctx):
+        n, n_x, n_xx, n_t, n_tt = outs
+        p = self.p
+        x, t = ctx["x"], ctx["t"]
+        scale = p.t_max ** 2 * (p.x_max / 2.0) ** 2
+        g = x * (p.x_max - x)
+        D = t * t * g / scale
+        D_t = 2.0 * t * g / scale
+        D_tt = 2.0 * g / scale
+        D_x = t * t * (p.x_max - 2.0 * x) / scale
+        D_xx = -2.0 * t * t / scale
+        u_tt = D_tt * n + 2.0 * D_t * n_t + D * n_tt
+        u_xx = -jnp.sin(x) + D_xx * n + 2.0 * D_x * n_x + D * n_xx
+        return _smean(jnp.square(u_tt - (p.c ** 2) * u_xx), ctx)
+
+
+@dataclass(frozen=True)
+class HardPoissonSpec:
+    """Poisson BVP, hard constraint u = D·N with
+    D = x(x_max−x)·y(x_max−y)/scale (models/hard.py poisson_ansatz).
+    Interior-only: R=5 vs soft's 9 streams, and only 2 uniforms per point
+    (the soft spec needs a third for its boundary-edge sampling)."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_second=2),)   # N, (N_x, N_xx), (N_y, N_yy)
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        y = self.p.x_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        X = jnp.concatenate([
+            _cat(x, y), _cat(one, zero), _cat(zero, zero),
+            _cat(zero, one), _cat(zero, zero),
+        ], 0)
+        return X, {"x": x, "y": y}
+
+    def loss(self, outs, ctx):
+        n, n_x, n_xx, n_y, n_yy = outs
+        p = self.p
+        x, y = ctx["x"], ctx["y"]
+        scale = (p.x_max / 2.0) ** 4
+        gx = x * (p.x_max - x)
+        gy = y * (p.x_max - y)
+        D = gx * gy / scale
+        D_x = (p.x_max - 2.0 * x) * gy / scale
+        D_xx = -2.0 * gy / scale
+        D_y = gx * (p.x_max - 2.0 * y) / scale
+        D_yy = -2.0 * gx / scale
+        u_xx = D_xx * n + 2.0 * D_x * n_x + D * n_xx
+        u_yy = D_yy * n + 2.0 * D_y * n_y + D * n_yy
+        src = 2.0 * jnp.sin(x) * jnp.sin(y)
+        return _smean(jnp.square(-(u_xx + u_yy) - src), ctx)
 
 
 @dataclass(frozen=True)
@@ -434,14 +573,25 @@ class VolterraSpec:
         yhat = outs[0]
         cs, ws = self._nodes()
         # ∫₀ˣ (t−x)·y(t) dt ≈ Σ_j (x·c_j − x)·y_j·(x·w_j)  [t_j = x·c_j]
-        #                   = x² · Σ_j (c_j−1)·w_j · y_j
-        # — the x² factors out of the sum, leaving one scalar-weighted
-        # accumulation per node (fusable VPU adds, no per-node x products).
-        acc = 0.0
-        for j, (c, w) in enumerate(zip(cs, ws)):
-            acc = acc + ((c - 1.0) * w) * outs[1 + j]
+        #                   = x² · Σ_j (c_j−1)·w_j · y_j.
+        # The per-sample node sum is ONE matmul with a constant selection
+        # matrix: P[b, (1+j)·B + b] = (c_j−1)·w_j, acc = P @ out. A scalar
+        # -weighted accumulation loop over the k node groups (the previous
+        # layout) is 2k serial [B,1] VPU ops using 1/128 lanes each — the
+        # measured reason the volterra kernel only TIED the XLA scan.
+        B = yhat.shape[0]
+        out_full = jnp.concatenate(outs, 0)              # [(1+k)·B, 1]
+        coeff = np.concatenate(
+            [np.zeros(B, np.float32)]
+            + [np.full(B, (c - 1.0) * w, np.float32)
+               for c, w in zip(cs, ws)])                 # [(1+k)·B]
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.size), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.size), 1)
+        P = jnp.where(jax.lax.rem(col, B) == row,
+                      jnp.asarray(coeff)[None, :], 0.0)
+        acc = jnp.dot(P, out_full, precision=_HIGH)      # [B, 1]
         r = yhat - x - (x * x) * acc
-        return jnp.mean(jnp.square(r))
+        return _smean(jnp.square(r), ctx)
 
 
 SPECS = {
@@ -455,8 +605,20 @@ SPECS = {
 }
 
 
+HARD_SPECS = {
+    "heat": HardHeatSpec,
+    "wave": HardWaveSpec,
+    "poisson": HardPoissonSpec,
+}
+
+
 def spec_for(problem):
     """The stream spec for ``problem``, or None if it has no fused path."""
+    if getattr(problem, "constraint", "soft") == "hard":
+        # Hard-constraint trial functions: interior-only specs composing
+        # the analytic ansatz derivatives (fewer streams than soft).
+        cls = HARD_SPECS.get(problem.name)
+        return cls(problem) if cls else None
     cls = SPECS.get(problem.name)
     if cls is None:
         return None
@@ -489,7 +651,8 @@ def _largest_divisor_leq(K, cap):
 def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
                        steps_per_cell: int | None = None,
                        batch_tile: int | None = None, precision=_HIGH,
-                       schedule="constant", total_steps=1, decay=0.1):
+                       schedule="constant", total_steps=1, decay=0.1,
+                       runtime_bs=None, runtime_steps=None):
     """Run ``K = uniforms.shape[0]`` Adam steps of ``spec``'s equation inside
     one Pallas kernel (shared scaffolding: kernels.engine_core). VMEM
     strategy scales with the spec's stream count; batches above the tile
@@ -521,13 +684,15 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
     T = B // batch_tile
 
-    def step_math(p, u, const):
-        return engine_step_math(spec, p, u, u.shape[0], L, precision)
+    def step_math(p, u, const, batch_mask=None, inv_bs=None):
+        return engine_step_math(spec, p, u, u.shape[0], L, precision,
+                                batch_mask=batch_mask, inv_bs=inv_bs)
 
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
                            lrate, S, T=T, schedule=schedule,
-                           total_steps=total_steps, decay=decay)
+                           total_steps=total_steps, decay=decay,
+                           runtime_bs=runtime_bs, runtime_steps=runtime_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -541,6 +706,14 @@ def supports(problem, model=None) -> bool:
     if spec is None:
         return False
     model = model or problem.default_model()
+    hard_problem = getattr(problem, "constraint", "soft") == "hard"
+    if type(model).__name__ == "HardConstraint":
+        if not hard_problem:
+            return False   # ansatz model on a soft spec: loss mismatch
+        model = model.net  # the kernel trains the RAW net; the spec's
+        #                    loss re-applies the analytic ansatz
+    elif hard_problem:
+        return False       # hard spec needs the problem's ansatz wrapper
     return (type(model).__name__ == "MLP" and model.batch_norm is None
             and model.activation == "tanh"
             and not getattr(model, "fourier_features", 0))
@@ -621,7 +794,7 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
 
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_params(model, params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -645,8 +818,9 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = draw(start_step, chunk)
-    compiled = run.lower(flat, m, v, u0, start_step).compile()
+    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    compiled = cached_compile(run, flat, m, v, u0, start_step,
+                              label=f"eng-{problem.name}")
     compile_time = time.perf_counter() - t0
 
     losses_out = []
@@ -692,10 +866,11 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
         schedule = problem.defaults.schedule
 
     init_key, run_key = jax.random.split(key)
-    uniforms = jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
-    )(jnp.arange(iterations))
+    )(jnp.arange(iterations)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
 
     common = dict(steps_per_cell=steps_per_cell, schedule=schedule,
                   total_steps=iterations, decay=decay)
@@ -718,11 +893,13 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
             spec, model, flat, m, v, u, 0, lrate=lrate,
             precision=_PRECISIONS[precision], **common)
 
-    jinit = jax.jit(model.init)
+    jinit = cached_compile(jax.jit(model.init),
+                           jax.random.fold_in(init_key, 0), label="init")
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = jax.jit(run).lower(
-        flat0, zeros, zeros, uniforms, jnp.float32(0.0)).compile()
+    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
+                              uniforms, jnp.float32(0.0),
+                              label=f"engev-{problem.name}")
 
     def eval_fn(trial_index: int, lrate: float):
         flat = pack_params(model, jinit(jax.random.fold_in(init_key,
@@ -730,6 +907,81 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
                                    jnp.float32(lrate))
         return np.asarray(losses), p
+
+    return eval_fn
+
+
+def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
+                         steps_per_cell: int | None = None,
+                         precision: str = "highest",
+                         schedule: str | None = None, decay: float = 0.1):
+    """Compile ONE fused executable covering the FULL reference search space
+    (optimize_heat_ray.py:173-176: batch_size, n_iters, lrate) and return
+    ``eval_fn(trial_index, lrate, batch_size, n_iters) ->
+    (losses [n_iters], flat_params)``.
+
+    All three hyperparameters are runtime values: lr is the usual SMEM
+    scalar, batch_size masks rows ≥ bs out of the loss (iota mask over a
+    max_batch tile — the same masking the vmapped population applies in
+    equations.base), and n_iters freezes every step past the trial's own
+    budget (``pl.when`` skip), so the returned state IS the n_iters-step
+    state and the final loss matches a standalone n_iters run over the
+    same collocation stream."""
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase (the mixed "
+                         "schedule's phase split is compile-time, the "
+                         "trial budget is runtime); use 'highest' or "
+                         "'default'")
+    if schedule != "constant":
+        # The in-kernel schedules decay over the COMPILE-TIME max_iters
+        # horizon; a trial stopping earlier would see a truncated curve.
+        raise ValueError("the sweep evaluator supports the constant lr "
+                         "schedule only (per-trial n_iters vs. a "
+                         "compile-time decay horizon)")
+
+    init_key, run_key = jax.random.split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (max_batch, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+
+    def run(flat, m, v, u, lrate, bs, n_steps):
+        return fused_engine_chunk(
+            spec, model, flat, m, v, u, 0, lrate=lrate,
+            steps_per_cell=steps_per_cell,
+            precision=_PRECISIONS[precision], schedule=schedule,
+            total_steps=max_iters, decay=decay,
+            runtime_bs=bs, runtime_steps=n_steps)
+
+    jinit = cached_compile(jax.jit(model.init),
+                           jax.random.fold_in(init_key, 0), label="init")
+    flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
+    zeros = tuple(jnp.zeros_like(p) for p in flat0)
+    compiled = cached_compile(
+        jax.jit(run), flat0, zeros, zeros, uniforms, jnp.float32(0.0),
+        jnp.int32(max_batch), jnp.int32(max_iters),
+        label=f"engsw-{problem.name}")
+
+    def eval_fn(trial_index: int, lrate: float, batch_size: int,
+                n_iters: int):
+        batch_size = max(1, min(int(batch_size), max_batch))
+        n_iters = max(1, min(int(n_iters), max_iters))
+        flat = pack_params(model, jinit(jax.random.fold_in(init_key,
+                                                           trial_index)))
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                   jnp.float32(lrate),
+                                   jnp.int32(batch_size),
+                                   jnp.int32(n_iters))
+        return np.asarray(losses)[:n_iters], p
 
     return eval_fn
 
@@ -769,7 +1021,8 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                          batch_size=64, lrate=1e-4, model=None,
                          steps_per_cell: int | None = None,
                          precision: str = "highest",
-                         schedule: str | None = None, decay: float = 0.1):
+                         schedule: str | None = None, decay: float = 0.1,
+                         timings: dict | None = None):
     """Train ``n_replicas`` independently-initialised replicas, EACH inside
     its own fused Mosaic kernel, sharded over ``mesh``'s 'pop' axis with
     ``jax.shard_map`` (each chip runs the whole on-chip training loop for
@@ -794,10 +1047,11 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
     stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
     flat = pack_params(model, stacked)  # tuple of [n_replicas, ...] tensors
 
-    uniforms = jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
-    )(jnp.arange(iterations))
+    )(jnp.arange(iterations)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
 
     common = dict(lrate=lrate, steps_per_cell=steps_per_cell,
                   schedule=schedule, total_steps=iterations, decay=decay)
@@ -834,9 +1088,14 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                 jnp.stack(losses))
 
     if mesh is None:
-        flat_out, losses = jax.jit(run_local)(flat, uniforms)
+        run = jax.jit(run_local)
     else:
         pop_axis = "pop"
+        if pop_axis not in mesh.shape:
+            raise ValueError(
+                f"fused ensembles shard replicas over a '{pop_axis}' mesh "
+                f"axis; the given mesh has axes {tuple(mesh.axis_names)} — "
+                f"build it with make_mesh({{'pop': N}})")
         n_shards = mesh.shape[pop_axis]
         if n_replicas % n_shards:
             raise ValueError(f"n_replicas {n_replicas} not divisible by "
@@ -846,14 +1105,31 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
                      for t in flat)
         # check_vma=False: pallas_call's out_shape structs carry no varying
         # -across-mesh annotation, which the vma checker (jax>=0.9) rejects.
-        shmap = jax.shard_map(
+        run = jax.jit(jax.shard_map(
             run_local, mesh=mesh,
             in_specs=(tuple(pspec for _ in flat), PartitionSpec()),
             out_specs=(tuple(pspec for _ in flat), pspec),
-            check_vma=False)
-        flat_out, losses = jax.jit(shmap)(flat, uniforms)
-
+            check_vma=False))
+    flat_out, losses = _timed_ensemble_run(run, flat, uniforms, timings)
     return unpack_params(model, flat_out), np.asarray(losses)
+
+
+def _timed_ensemble_run(run, flat, uniforms, timings):
+    """Compile and execute an ensemble program, recording the compile/run
+    wall-clock split in ``timings`` (same contract as
+    parallel.population.train_population)."""
+    import time
+
+    t0 = time.perf_counter()
+    compiled = cached_compile(run, flat, uniforms, label="ens")
+    compile_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = compiled(flat, uniforms)
+    jax.block_until_ready(out[1])
+    run_time = time.perf_counter() - t0
+    if timings is not None:
+        timings.update(compile_time=compile_time, run_time=run_time)
+    return out
 
 
 def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
@@ -873,7 +1149,7 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
 
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_params(model, params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -904,9 +1180,10 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = draw(start_step, n1)
-    u2 = draw(start_step + n1, n2)
-    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    u1 = cached_call(draw, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
+                              label=f"engmx-{problem.name}")
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()

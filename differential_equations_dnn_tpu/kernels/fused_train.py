@@ -42,6 +42,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from differential_equations_dnn_tpu.kernels.aot_cache import (
+    cached_call,
+    cached_compile,
+)
+
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
 # MXU precision for the kernel's matmuls. HIGHEST = exact fp32 (multi-pass
 # MXU): measured 70k it/s and MAE 0.0011 at the reference heat budget.
@@ -492,7 +497,7 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     model = model or problem.default_model()
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_params(model, params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -518,8 +523,9 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = draw(start_step, chunk)
-    compiled = run.lower(flat, m, v, u0, start_step).compile()
+    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    compiled = cached_compile(run, flat, m, v, u0, start_step,
+                              label="heat")
     compile_time = time.perf_counter() - t0
 
     losses_out = []
@@ -558,7 +564,7 @@ def _train_mixed_single_dispatch(problem, key, iterations, n1, batch_size,
     model = model or problem.default_model()
     init_key, run_key = jax.random.split(key)
     if params is None:
-        params = model.init(init_key)
+        params = cached_call(jax.jit(model.init), init_key, label="init")
     flat = pack_params(model, params)
     if opt_state is None:
         m = tuple(jnp.zeros_like(p) for p in flat)
@@ -590,9 +596,10 @@ def _train_mixed_single_dispatch(problem, key, iterations, n1, batch_size,
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = draw(start_step, n1)
-    u2 = draw(start_step + n1, n2)
-    compiled = run.lower(flat, m, v, u1, u2, start_step).compile()
+    u1 = cached_call(draw, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
+                              label="heatmx")
     compile_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -18,10 +18,26 @@ Per-equation ansatz builders live on the equations (``constraint="hard"``
 on supported Problems).
 """
 
+import math
+import warnings
 from dataclasses import dataclass
 from typing import Callable
 
 import jax.numpy as jnp
+
+
+def _check_sin_lift(x_max: float, who: str):
+    """The sin(x)-based lifts satisfy the homogeneous Dirichlet condition at
+    ``x = x_max`` only when ``sin(x_max) = 0`` (x_max a multiple of π, as in
+    every reference domain). D still vanishes there, so the net cannot
+    correct a nonzero sin(x_max) — warn rather than silently violate the
+    advertised exact BC."""
+    if abs(math.sin(x_max)) > 1e-9:
+        warnings.warn(
+            f"{who}: the sin(x) lift is exact only for x_max a multiple of "
+            f"π (got x_max={x_max!r}, sin(x_max)={math.sin(x_max):.3g}); the "
+            f"boundary condition u(x_max, ·)=0 will be violated by exactly "
+            f"that amount", stacklevel=3)
 
 
 @dataclass(frozen=True)
@@ -54,6 +70,14 @@ class HardConstraint:
 
     __call__ = apply
 
+    def __getattr__(self, name):
+        # Delegate structural attributes (hidden_size, num_layers,
+        # activation, fourier_features, ...) to the wrapped net: the fused
+        # hard-constraint specs (kernels.fused_engine.HARD_SPECS) train the
+        # RAW net inside the kernel and re-apply the analytic ansatz in the
+        # spec loss, so the kernel scaffolding reads the net's shape here.
+        return getattr(self.net, name)
+
 
 def time_ic_ansatz(y_ic: float, t_scale: float = 1.0):
     """1-D time problems with ``y(0) = y_ic``: y = y_ic + (t/t_scale)·N(t)
@@ -72,6 +96,7 @@ def heat1d_ansatz(x_max: float, t_max: float = 1.0):
     (x_max=π ⇒ sin vanishes at both ends, so the BCs hold exactly too).
     Normalising D matters: the raw factor peaks at ~t_max·x_max²/4 ≈ 7,
     which rescales the net's output and detunes the reference lr."""
+    _check_sin_lift(x_max, "heat1d_ansatz")
     scale = t_max * (x_max / 2.0) ** 2
 
     def ansatz(xt, y_raw):
@@ -85,6 +110,7 @@ def wave1d_ansatz(x_max: float, t_max: float = 1.0):
     """u(x,0)=sin x, u_t(x,0)=0, u(0,t)=u(x_max,t)=0:
     u = sin(x) + D·N with D = t²·x·(x_max−x) normalised to ≤1 — the t²
     factor kills both the position and the velocity initial condition."""
+    _check_sin_lift(x_max, "wave1d_ansatz")
     scale = t_max ** 2 * (x_max / 2.0) ** 2
 
     def ansatz(xt, y_raw):
@@ -109,6 +135,7 @@ def poisson_ansatz(x_max: float):
 def heat2d_ansatz(x_max: float, t_max: float = 1.0):
     """u(x,y,0)=sin x·sin y, u=0 on the spatial boundary:
     u = sin(x)sin(y) + D·N with D = t·x(x_max−x)y(x_max−y) normalised."""
+    _check_sin_lift(x_max, "heat2d_ansatz")
     scale = t_max * (x_max / 2.0) ** 4
 
     def ansatz(xyt, y_raw):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
+from differential_equations_dnn_tpu.kernels.aot_cache import cached_compile
 from differential_equations_dnn_tpu.core.prng import fold_index, key_chain
 from differential_equations_dnn_tpu.models.stateful import (
     init_model_state,
@@ -156,17 +157,25 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
 
     chunk = max(1, min(config.chunk_size, config.iterations))
     n_full, rem = divmod(config.iterations, chunk)
+    compiled_chunk = None
     compile_timer = Timer()
     with compile_timer:
         if n_full > 0:
-            run_chunk.lower(params, state, opt_state, 0, chunk).compile()
+            compiled_chunk = cached_compile(
+                run_chunk, params, state, opt_state, 0, length=chunk,
+                label=f"pop-{problem.name}")
     losses_out = []
     done = 0
     run_timer = Timer()
     with run_timer:
         for length in [chunk] * n_full + ([rem] if rem else []):
-            params, state, opt_state, losses = run_chunk(
-                params, state, opt_state, done, length)
+            if length == chunk and compiled_chunk is not None:
+                # AOT Compiled objects take only the dynamic args.
+                params, state, opt_state, losses = compiled_chunk(
+                    params, state, opt_state, done)
+            else:
+                params, state, opt_state, losses = run_chunk(
+                    params, state, opt_state, done, length)
             losses_out.append(np.asarray(losses))
             done += length
         jax.block_until_ready(params)

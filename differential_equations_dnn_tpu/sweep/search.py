@@ -339,53 +339,96 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                      model=None, space: SearchSpace | None = None,
                      max_iters: int | None = None,
                      batch_size: int | None = None,
+                     max_batch_size: int = 512,
                      gamma: float = 0.25) -> SweepResult:
-    """TPE over the learning rate with every proposal trained to the FULL
-    budget inside the fused Pallas kernel.
+    """TPE with every proposal trained inside the fused Pallas kernel
+    through ONE compiled executable.
 
-    The kernel's base lr is a runtime SMEM scalar
-    (kernels.fused_engine.make_lr_evaluator), so all trials share ONE
-    compiled executable — ~0.22 s per full-15k-iteration heat trial. This
-    trades the vmapped population's concurrency for full-budget,
-    sequentially-informed proposals: TPE sees every completed trial before
-    proposing the next (the vmapped ``tpe_search`` gets feedback only
-    between rounds). lr-only spaces (batch size and iteration count are
-    shape parameters — changing them recompiles by construction)."""
+    The FULL reference space (optimize_heat_ray.py:173-176) is supported:
+    lr is a runtime SMEM scalar, batch_size masks rows ≥ bs out of the
+    loss at runtime (iota mask over a max-batch tile, as the population
+    path does), and n_iters freezes every later step in-kernel, so a
+    trial's returned loss is exactly its own-budget final loss
+    (kernels.fused_engine.make_sweep_evaluator). This trades the vmapped
+    population's concurrency for full-budget, sequentially-informed
+    proposals: TPE sees every completed trial before proposing the next
+    (the vmapped ``tpe_search`` gets feedback only between rounds).
+
+    lr-only spaces route through the leaner fixed-shape evaluator
+    (make_lr_evaluator / the DGM engine's make_trial_evaluator); the DGM
+    engine itself is lr-only (its equations' batch caps are tiny — use
+    the population TPE for their full spaces)."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
     space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
-    if set(space.specs) != {"lrate"}:
-        raise ValueError("tpe_search_fused sweeps the learning rate only "
-                         f"(got {sorted(space.specs)})")
+    names = set(space.specs)
+    if not names <= {"lrate", "batch_size", "n_iters"}:
+        raise ValueError("tpe_search_fused sweeps lrate/batch_size/"
+                         f"n_iters (got {sorted(names)})")
     model = model or problem.default_model()
-    budget = int(max_iters if max_iters is not None
-                 else problem.defaults.iterations)
     bs = int(batch_size if batch_size is not None
              else problem.defaults.batch_size)
+    lr_only = names == {"lrate"}
 
-    if fused_dgm.supports(problem, model, bs):
+    if lr_only and fused_dgm.supports(problem, model, bs):
+        budget = int(max_iters if max_iters is not None
+                     else problem.defaults.iterations)
         _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
                                              batch_size=bs, model=model)
-        eval_fn = lambda t, lr: _ev(t, lr)
+        eval_fn = lambda t, c: _ev(t, float(c["lrate"]))
+        resolve = lambda c: {"lrate": float(c["lrate"]), "n_iters": budget,
+                             "batch_size": bs}
         unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
-    else:
-        eval_fn = fused_engine.make_lr_evaluator(problem, key, budget,
-                                                 batch_size=bs, model=model)
+    elif lr_only:
+        budget = int(max_iters if max_iters is not None
+                     else problem.defaults.iterations)
+        _ev = fused_engine.make_lr_evaluator(problem, key, budget,
+                                             batch_size=bs, model=model)
+        eval_fn = lambda t, c: _ev(t, float(c["lrate"]))
+        resolve = lambda c: {"lrate": float(c["lrate"]), "n_iters": budget,
+                             "batch_size": bs}
         unpack_params = fused_engine.unpack_params
+    else:
+        if fused_dgm.supports(problem, model, bs):
+            raise ValueError(
+                "the fused DGM engine sweeps the learning rate only; use "
+                "an lr-only space, or scheduler='tpe' (vmapped population) "
+                "for the full space")
+        max_bs = _clamp_batch_cap(problem, max_batch_size)
+        nspec = space.specs.get("n_iters")
+        budget = int(max_iters if max_iters is not None
+                     else (nspec.high - 1 if isinstance(nspec, randint)
+                           else problem.defaults.iterations))
+        bspec = space.specs.get("batch_size")
+        if isinstance(bspec, randint):
+            max_bs = min(max_bs, bspec.high - 1)
+        _ev = fused_engine.make_sweep_evaluator(problem, key, budget,
+                                               max_batch=max_bs,
+                                               model=model)
+
+        def resolve(c):
+            return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
+                    "batch_size": min(int(c.get("batch_size", bs)), max_bs),
+                    "n_iters": min(int(c.get("n_iters", budget)), budget)}
+
+        eval_fn = lambda t, c: _ev(t, c["lrate"], c["batch_size"],
+                                   c["n_iters"])
+        unpack_params = fused_engine.unpack_params
+
     sampler = TPESampler(space=space, seed=seed, gamma=gamma,
                          n_initial=min(4, num_samples))
     configs: list[dict] = []
     scores: list[float] = []
     best = None
     for t in range(num_samples):
-        config = sampler.ask(1)[0]
-        lr = float(config["lrate"])
-        trial_losses, flat = eval_fn(t, lr)
+        config = resolve(sampler.ask(1)[0])
+        trial_losses, flat = eval_fn(t, config)
+        # Score at the trial's own budget — the reference metric
+        # (optimize_heat_ray.py:157: final loss via session.report).
         loss = float(trial_losses[-1])
-        resolved = {"lrate": lr, "n_iters": budget, "batch_size": bs}
-        sampler.tell([resolved], [loss])
-        configs.append(resolved)
+        sampler.tell([config], [loss])
+        configs.append(config)
         scores.append(loss)
         if np.isfinite(loss) and (best is None or loss < best[0]):
             best = (loss, t, flat)

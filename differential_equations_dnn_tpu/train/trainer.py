@@ -34,6 +34,7 @@ import optax
 from jax import lax
 
 from differential_equations_dnn_tpu.core.prng import fold_index
+from differential_equations_dnn_tpu.kernels.aot_cache import cached_compile
 from differential_equations_dnn_tpu.models.stateful import (
     init_model_state,
     train_apply,
@@ -253,11 +254,15 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
     n_full, rem = divmod(config.iterations, chunk)
 
     losses_out = []
+    compiled_chunk = None
     compile_timer = Timer()
     with compile_timer:
-        # Trigger compilation of the full-chunk program before timing the run.
+        # Compile the full-chunk program before timing the run — through the
+        # AOT executable cache, so a warm process skips the compiler.
         if n_full > 0:
-            run_chunk.lower(params, state, opt_state, 0, chunk).compile()
+            compiled_chunk = cached_compile(
+                run_chunk, params, state, opt_state, 0, length=chunk,
+                label=f"scan-{problem.name}")
 
     metrics_fh = open(config.metrics_file, "a") if config.metrics_file else None
     chunks = [chunk] * n_full + ([rem] if rem else [])
@@ -281,8 +286,15 @@ def train(problem, key, config: TrainConfig | None = None, model=None,
                         raise _InjectedFault(f"injected at dispatch {dispatch_idx}")
                     chunk_timer = Timer()
                     with chunk_timer:
-                        params, state, opt_state, losses = run_chunk(
-                            params, state, opt_state, done, chunk_len)
+                        # AOT Compiled objects take only the dynamic args
+                        # (``length`` was fixed at lowering time).
+                        step_fn = (
+                            (lambda p, s, o, d: compiled_chunk(p, s, o, d))
+                            if chunk_len == chunk and compiled_chunk is not None
+                            else (lambda p, s, o, d: run_chunk(
+                                p, s, o, d, chunk_len)))
+                        params, state, opt_state, losses = step_fn(
+                            params, state, opt_state, done)
                         losses = np.asarray(losses)
                 except Exception as err:  # noqa: BLE001 — filtered below
                     dispatch_idx += 1

@@ -28,7 +28,15 @@ def test_fn_step_math_matches_problem_loss_grad(key):
 
     loss_e, grads_e = fd.dgm_step_math(spec, flat, u, B, model.num_layers)
 
-    batch = {"t": prob.t_max * u[:, :1], "t0": jnp.zeros((B, 1))}
+    # Causal mode (the default): the spec builds stratified time-sorted
+    # collocation t_i = (i + u_i)·Δt — mirror it so the equation's causal
+    # loss sees the identical batch.
+    if prob.causal_eps > 0.0:
+        t = (jnp.arange(B, dtype=u.dtype)[:, None] + u[:, :1]) * (
+            prob.t_max / B)
+    else:
+        t = prob.t_max * u[:, :1]
+    batch = {"t": t, "t0": jnp.zeros((B, 1))}
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
     np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)

@@ -67,18 +67,30 @@ def main(full: bool = False):
               f"{res.iters_per_sec:.0f} it/s")
         if not ok:
             failures.append(f"{name}_fused_engine")
-    # FN DGM fused: init-sensitive single-run — check the residual (physics
-    # loss) converges rather than the multi-stable MAE. ensemble=1 forces
-    # the single-run path (the FN auto-default would otherwise train 16
-    # replicas and mask a single-run convergence regression).
-    res = solve("fitzhugh_nagumo", engine="fused", iterations=20_000,
-                seed=42, finetune=0, ensemble=1)
-    ok = res.loss_history[-1] < 0.01
-    print(f"{'OK ' if ok else 'FAIL'} fn[fused]        "
-          f"final_loss={res.loss_history[-1]:.5f} (bound 0.01)  "
-          f"{res.iters_per_sec:.0f} it/s")
-    if not ok:
-        failures.append("fn_fused_engine")
+    # FN DGM parity arch, SINGLE runs at the full reference budget: the
+    # causal residual weighting must beat the reference's published 0.0088
+    # on every seed with NO ensemble and NO polish (round-3 acceptance;
+    # 15/15 runs measured 0.0024-0.0060 across eps 1/5/20).
+    for seed in range(5):
+        res = solve("fitzhugh_nagumo", engine="fused", seed=seed,
+                    finetune=0, ensemble=0)
+        ok = res.mae < 0.0088
+        print(f"{'OK ' if ok else 'FAIL'} fn[fused,s{seed}]    "
+              f"mae={res.mae:.5f} (ref 0.0088)  "
+              f"{res.iters_per_sec:.0f} it/s")
+        if not ok:
+            failures.append(f"fn_causal_single_run_seed{seed}")
+
+    # Hard-constraint fused specs: interior-only streams, exact IC/BC.
+    for name in ("heat", "wave", "poisson"):
+        res = solve(name, constraint="hard", engine="fused",
+                    iterations=5000, seed=42, finetune=0)
+        ok = res.mae < 0.05
+        print(f"{'OK ' if ok else 'FAIL'} {name + '[hard]':<16s} "
+              f"mae={res.mae:.5f} (bound 0.05)  "
+              f"{res.iters_per_sec:.0f} it/s")
+        if not ok:
+            failures.append(f"{name}_hard_fused")
 
     # heat2d budget monotonicity (round-1 regression: constant lr made the
     # FULL 20k budget end WORSE than a short one; the cosine default must

@@ -46,13 +46,15 @@ class SolveResult:
 def _auto_defaults(problem, model) -> tuple[int, int]:
     """(ensemble, finetune) used when the caller leaves them ``None``.
 
-    * FitzHugh–Nagumo DGM arch: highly init-sensitive — single-seed MAE
-      lands anywhere in [0.005, 0.76] at the reference budget, and even the
-      best of 8 replicas (off-grid validation selection picks the true-best
-      — verified) only reaches MAE 0.01-0.05 on bad seeds. Best-of-16 with
-      top-3 post-polish selection (200 L-BFGS steps each) beats the
-      reference's published 0.0088 on EVERY seed tested: MAE 0.0024-0.0048
-      over seeds 0-4 (round-2 TPU measurement).
+    * FitzHugh–Nagumo DGM arch: with the default CAUSAL residual
+      weighting (``causal_eps > 0``, equations/fitzhugh_nagumo.py) a
+      SINGLE run beats the reference's published 0.0088 on every seed
+      tested (round-3 TPU measurement: MAE 0.0024-0.0060 over 15 runs at
+      ε ∈ {1, 5, 20}) — no ensemble needed. The round-2 multi-start
+      (16 replicas + top-3 L-BFGS polish, MAE 0.0024-0.0048 at ~65x the
+      cost) remains available explicitly and is the auto fallback when
+      causal weighting is turned OFF (``causal_eps=0`` reproduces the
+      reference's multi-stable training, single-seed MAE ∈ [0.005, 0.76]).
     * Fredholm: the 3k-iteration Adam budget, not the quadrature, limits
       accuracy — the Gauss default still straddles the reference's 0.0134
       seed-to-seed (0.006-0.026 over seeds 0-4). The 200-step L-BFGS polish
@@ -61,7 +63,8 @@ def _auto_defaults(problem, model) -> tuple[int, int]:
     if model is not None:
         return 0, 0
     if (problem.name == "fitzhugh_nagumo"
-            and getattr(problem, "arch", None) == "dgm"):
+            and getattr(problem, "arch", None) == "dgm"
+            and getattr(problem, "causal_eps", 0.0) <= 0.0):
         return 16, 200
     if problem.name == "fredholm":
         return 0, 200
@@ -159,16 +162,17 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
 
     ``ensemble=N`` trains N independently-initialised replicas — as ONE
     vmapped population on the scan engine (shardable over a 'pop' mesh
-    axis), or as N dispatches of ONE AOT-compiled Mosaic kernel on the
-    fused engine (compiles in seconds vs. minutes for a wide vmapped
-    program; measured 286 s vs 1128 s end-to-end for the robust FN solve)
-    — and returns the replica with the lowest off-grid validation
-    residual. ``finetune=N`` polishes
-    with N full-batch L-BFGS steps. Both default to ``None`` = automatic:
-    the init-sensitive FitzHugh–Nagumo DGM architecture gets ensemble 16 +
-    finetune 200 with top-3 post-polish selection (beats the reference on
-    every seed tested: MAE 0.0024-0.0048 vs 0.0088); everything else runs
-    single-shot without polish. Pass ``0`` to force either off.
+    axis), or on the fused engine as N dispatches of ONE AOT-compiled
+    Mosaic kernel (``mesh=None``; compiles in seconds vs. minutes for a
+    wide vmapped program) or as shard_map'd per-replica kernels over the
+    mesh's 'pop' axis (``mesh=make_mesh({'pop': N})``) — and returns the
+    replica with the lowest off-grid validation residual. ``finetune=N``
+    polishes with N full-batch L-BFGS steps. Both default to ``None`` =
+    automatic: single-shot without polish for almost everything —
+    FitzHugh–Nagumo's causal residual weighting (on by default) makes one
+    run beat the reference on every seed tested, so the round-2
+    16-replica auto-ensemble now only activates when causal weighting is
+    explicitly disabled (``causal_eps=0``). Pass ``0`` to force off.
 
     Stateful models (BatchNorm MLPs) train on the same path; the trained
     running statistics ride ``SolveResult.state`` and evaluation uses
@@ -177,10 +181,13 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     ``engine`` selects the training executor: "scan" (default) is the
     generic jitted lax.scan trainer; "fused" runs the whole loop inside one
     Pallas kernel (heat via the specialised kernels.fused_train; the other
-    MLP equations — wave, poisson, heat2d, burgers, simple_ode — via the
-    generic kernels.fused_engine; the DGM-architecture equations —
+    MLP equations — wave, poisson, heat2d, burgers, simple_ode, volterra —
+    via the generic kernels.fused_engine; the DGM-architecture equations —
     fitzhugh_nagumo dgm arch, fredholm gauss — via kernels.fused_dgm with
-    a hand-derived VJP of the gate recurrence). For the fused engine,
+    a hand-derived VJP of the gate recurrence; heat/wave/poisson with
+    ``constraint="hard"`` via interior-only hard-constraint specs that
+    compose the analytic ansatz derivatives — FEWER streams than soft, so
+    the hard fused path is also the fastest). For the fused engine,
     ``precision`` picks the MXU mode: "highest" (exact fp32, default),
     "default" (bf16 in / fp32 accumulate, fastest, ~10x MAE), or "mixed"
     (bf16 coarse phase + exact-fp32 final phase chained in ONE dispatch —

@@ -111,8 +111,14 @@ def _solve(problem, args):
         raise SystemExit("--engine fused is single-chip (use the default "
                          "scan engine with --mesh)")
     if fused and getattr(args, "constraint", "soft") == "hard":
-        raise SystemExit("--constraint hard trains on the scan engine "
-                         "(the fused kernels read the raw model structure)")
+        from differential_equations_dnn_tpu.kernels import fused_engine
+
+        if not (fused_engine.spec_for(problem) is not None
+                and fused_engine.supports(problem, model)):
+            raise SystemExit(
+                "--constraint hard with --engine fused needs a fused hard "
+                f"spec ({sorted(fused_engine.HARD_SPECS)} with the default "
+                "ansatz); other equations train it on the scan engine")
     params = opt_state = state = None
     start_step = 0
     if args.restore:
@@ -139,7 +145,8 @@ def _solve(problem, args):
     if fused:
         from differential_equations_dnn_tpu.kernels import fused_dgm
 
-        if problem.name == "heat":
+        if (problem.name == "heat"
+                and getattr(problem, "constraint", "soft") == "soft"):
             from differential_equations_dnn_tpu.kernels.fused_train import (
                 train_heat_fused_result as _fused,
             )

@@ -157,13 +157,15 @@ class FitzHughNagumo(Problem):
 
         res, ic = self._residuals(apply_fn, params, batch)
         t = batch["t"][:, 0]
-        order = jnp.argsort(t)  # stratified batches are already sorted
-        res_s = res[order]
+        # Σ_{j: t_j < t_i} ℓ_j as ONE comparison-mask matmul — permutation
+        # -invariant and sort-free (argsort + gather cost ~20x step time on
+        # TPU: the gather's VJP is a scatter). For the stratified sampler's
+        # time-sorted batches this mask IS the strictly-lower triangle.
+        earlier = (t[None, :] < t[:, None]).astype(res.dtype)   # [B, B]
         dt = self.t_max / res.shape[0]
-        cum = jnp.concatenate([jnp.zeros((1,), res.dtype),
-                               jnp.cumsum(res_s[:-1])]) * dt
+        cum = (earlier @ jax.lax.stop_gradient(res)) * dt
         wgt = jax.lax.stop_gradient(jnp.exp(-self.causal_eps * cum))
-        return jnp.mean(wgt * res_s) + jnp.mean(ic)
+        return jnp.mean(wgt * res) + jnp.mean(ic)
 
     def grid_inputs(self, nodes):
         return jnp.linspace(0.0, self.t_max, nodes)[:, None]

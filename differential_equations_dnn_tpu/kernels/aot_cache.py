@@ -82,8 +82,11 @@ def cached_compile(jitted, *args, label: str = "prog", **kwargs):
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
-                payload, in_tree, out_tree = pickle.load(fh)
-            compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+                payload, in_tree, out_tree, dev_ids = pickle.load(fh)
+            by_id = {d.id: d for d in jax.devices()}
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in dev_ids])
             _status["hits"] += 1
             return compiled
         except Exception:
@@ -107,15 +110,66 @@ def cached_call(jitted, *args, label: str = "prog", **kwargs):
     return cached_compile(jitted, *args, label=label, **kwargs)(*args)
 
 
+def cached_split(key):
+    """``jax.random.split(key) -> (k0, k1)`` through the executable cache.
+
+    A fresh process's first EAGER op is as exposed to the deployment
+    environment's compile lottery as a big kernel — every tiny first-time
+    compile can stall minutes. The hot-path drivers therefore route even
+    their key splits through cached executables."""
+    import jax as _jax
+
+    return cached_call(
+        _jax.jit(lambda k: tuple(_jax.random.split(k))), key, label="split")
+
+
+def fused_prologue(model, pack, key, params=None, opt_state=None,
+                   label: str = "prol"):
+    """The fused drivers' prologue as ONE cached program: split the key,
+    initialise the net, zero the Adam moments. Returns
+    ``(run_key, flat, m, v)``. Replaces ~15 eager dispatches (split + init
+    + one zeros_like per tensor), each of which would roll the remote
+    -compile lottery in a fresh process."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    if params is None and opt_state is None:
+        def prol(k):
+            ik, rk = _jax.random.split(k)
+            flat = pack(model.init(ik))
+            return rk, flat, tuple(_jnp.zeros_like(t) for t in flat)
+
+        rk, flat, zeros = cached_call(_jax.jit(prol), key, label=label)
+        # m and v may share the zeros buffers: the kernels treat inputs as
+        # immutable (no donation) and write fresh output buffers.
+        return rk, flat, zeros, zeros
+    init_key, run_key = cached_split(key)
+    if params is None:
+        params = cached_call(_jax.jit(model.init), init_key, label="init")
+    flat = pack(params)
+    if opt_state is None:
+        m = tuple(_jnp.zeros_like(p) for p in flat)
+        v = m
+    else:
+        m = pack(opt_state["m"])
+        v = pack(opt_state["v"])
+    return run_key, flat, m, v
+
+
 def _persist(compiled, path):
     from jax.experimental import serialize_executable as se
 
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
+        # Pin the executable's device set: deserialize_and_load defaults to
+        # ALL backend devices, which breaks single-device programs on
+        # multi-device hosts (execute_sharded shard-count mismatch).
+        dev_ids = [d.id for d in
+                   compiled._executable.xla_executable.local_devices()]
         os.makedirs(cache_dir(), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
         with os.fdopen(fd, "wb") as fh:
-            pickle.dump((payload, in_tree, out_tree), fh)
+            pickle.dump((payload, in_tree, out_tree, dev_ids), fh)
         os.replace(tmp, path)
     except Exception:
         # Unserializable program (const-closed executables etc.) — the

@@ -43,6 +43,8 @@ import numpy as np
 from differential_equations_dnn_tpu.kernels.aot_cache import (
     cached_call,
     cached_compile,
+    cached_split,
+    fused_prologue,
 )
 from differential_equations_dnn_tpu.kernels.fused_engine import (
     Group,
@@ -310,7 +312,8 @@ class FNDGMSpec:
     def build(self, u):
         if self.p.causal_eps > 0.0:
             B = u.shape[0]
-            i = jax.lax.broadcasted_iota(u.dtype, (B, 1), 0)
+            # Integer iota then cast: tpu.iota only produces int vectors.
+            i = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).astype(u.dtype)
             t = (i + u[:, :1]) * (self.p.t_max / B)
         else:
             t = self.p.t_max * u[:, :1]
@@ -516,7 +519,7 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
     if isinstance(spec, FredholmDGMSpec):
         const = _fredholm_const(problem, batch_size, spec.n_groups)
 
-    init_key, run_key = jax.random.split(key)
+    init_key, run_key = cached_split(key)
     _draw_all = jax.jit(lambda k: jax.vmap(
         lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
@@ -548,7 +551,7 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
-                              uniforms, jnp.float32(0.0),
+                              uniforms, np.float32(0.0),
                               label=f"dgmev-{problem.name}")
 
     def eval_fn(trial_index: int, lr: float | None = None):
@@ -556,7 +559,7 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
         # one executable (None = the construction-time default).
         flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
-                                   jnp.float32(lrate if lr is None else lr))
+                                   np.float32(lrate if lr is None else lr))
         return np.asarray(losses), p
 
     return eval_fn
@@ -635,16 +638,8 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
     if isinstance(spec, FredholmDGMSpec):
         const = _fredholm_const(problem, batch_size, spec.n_groups)
 
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_dgm(params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_dgm(opt_state["m"])
-        v = pack_dgm(opt_state["v"])
+    run_key, flat, m, v = fused_prologue(model, pack_dgm, key, params,
+                                         opt_state)
 
     run = jax.jit(functools.partial(
         fused_dgm_chunk, spec, model, lrate=lrate, const=const,
@@ -653,15 +648,15 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
     ))
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, spec.n_uniform))
         )(start + jnp.arange(n))
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    u0 = cached_call(draw, run_key, start_step, label="draw", n=chunk)
     compiled = cached_compile(run, flat, m, v, u0, start_step,
                               label=f"dgm-{problem.name}")
     compile_time = time.perf_counter() - t0
@@ -671,7 +666,8 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
     t0 = time.perf_counter()
     while done < iterations:
         k = min(chunk, iterations - done)
-        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
+        u = (u0 if done == 0 and k == chunk
+             else draw(run_key, start_step + done, k))
         step_fn = compiled if k == chunk else run
         flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
@@ -705,16 +701,8 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
     if isinstance(spec, FredholmDGMSpec):
         const = _fredholm_const(problem, batch_size, spec.n_groups)
 
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_dgm(params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_dgm(opt_state["m"])
-        v = pack_dgm(opt_state["v"])
+    run_key, flat, m, v = fused_prologue(model, pack_dgm, key, params,
+                                         opt_state)
 
     n2 = iterations - n1
     common = dict(lrate=lrate, const=const, steps_per_cell=steps_per_cell,
@@ -731,15 +719,15 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
         return flat, m, v, jnp.concatenate([l1, l2])
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, spec.n_uniform))
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = cached_call(draw, start_step, label="draw", n=n1)
-    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    u1 = cached_call(draw, run_key, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, run_key, start_step + n1, label="draw", n=n2)
     compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
                               label=f"dgmmx-{problem.name}")
     compile_time = time.perf_counter() - t0

@@ -40,6 +40,8 @@ import numpy as np
 from differential_equations_dnn_tpu.kernels.aot_cache import (
     cached_call,
     cached_compile,
+    cached_split,
+    fused_prologue,
 )
 from differential_equations_dnn_tpu.kernels.fused_train import (
     _N_TENSORS,
@@ -166,7 +168,7 @@ def _act_bwd(groups, z, gr, B):
 
 
 def engine_step_math(spec, params, u, B, L, precision=_HIGH,
-                     batch_mask=None, inv_bs=None):
+                     batch_mask=None, inv_bs=None, const=None):
     """One training step's loss and parameter gradients for any stream spec.
 
     ``params`` = the flat MLP tuple (w_in, b_in, w_hid, b_hid, w_out, b_out);
@@ -176,6 +178,12 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     groups = spec.groups
     w_in, b_in, w_hid, b_hid, w_out, b_out = params
     X, ctx = spec.build(u)
+    if const is None and hasattr(spec, "make_const"):
+        # Direct (non-kernel) calls build the const lazily; inside a Pallas
+        # body it must arrive via the const operand (no captured ndarrays).
+        const = spec.make_const(B)
+    if const is not None:
+        ctx = {**ctx, "const": const}
     if batch_mask is not None:
         ctx = {**ctx, "mask": batch_mask, "inv_bs": inv_bs}
     mask = _bias_mask(groups, B, X.dtype)
@@ -568,10 +576,20 @@ class VolterraSpec:
         X = jnp.concatenate([x] + [x * c for c in cs], 0)
         return X, {"x": x}
 
+    def make_const(self, B):
+        """[1, (1+k)·B] per-column quadrature coefficients (zeros for the
+        collocation group) — rides the kernel's const operand (a captured
+        ndarray constant is rejected by pallas_call)."""
+        cs, ws = self._nodes()
+        coeff = np.concatenate(
+            [np.zeros(B, np.float32)]
+            + [np.full(B, (c - 1.0) * w, np.float32)
+               for c, w in zip(cs, ws)])
+        return jnp.asarray(coeff)[None, :]
+
     def loss(self, outs, ctx):
         x = ctx["x"]
         yhat = outs[0]
-        cs, ws = self._nodes()
         # ∫₀ˣ (t−x)·y(t) dt ≈ Σ_j (x·c_j − x)·y_j·(x·w_j)  [t_j = x·c_j]
         #                   = x² · Σ_j (c_j−1)·w_j · y_j.
         # The per-sample node sum is ONE matmul with a constant selection
@@ -581,14 +599,10 @@ class VolterraSpec:
         # measured reason the volterra kernel only TIED the XLA scan.
         B = yhat.shape[0]
         out_full = jnp.concatenate(outs, 0)              # [(1+k)·B, 1]
-        coeff = np.concatenate(
-            [np.zeros(B, np.float32)]
-            + [np.full(B, (c - 1.0) * w, np.float32)
-               for c, w in zip(cs, ws)])                 # [(1+k)·B]
-        row = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.size), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.size), 1)
-        P = jnp.where(jax.lax.rem(col, B) == row,
-                      jnp.asarray(coeff)[None, :], 0.0)
+        coeff = ctx["const"]                             # [1, (1+k)·B]
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.shape[1]), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.shape[1]), 1)
+        P = jnp.where(jax.lax.rem(col, B) == row, coeff, 0.0)
         acc = jnp.dot(P, out_full, precision=_HIGH)      # [B, 1]
         r = yhat - x - (x * x) * acc
         return _smean(jnp.square(r), ctx)
@@ -686,11 +700,14 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
 
     def step_math(p, u, const, batch_mask=None, inv_bs=None):
         return engine_step_math(spec, p, u, u.shape[0], L, precision,
-                                batch_mask=batch_mask, inv_bs=inv_bs)
+                                batch_mask=batch_mask, inv_bs=inv_bs,
+                                const=const)
 
+    const = (spec.make_const(B // T) if hasattr(spec, "make_const")
+             else None)
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
-                           lrate, S, T=T, schedule=schedule,
+                           lrate, S, T=T, const=const, schedule=schedule,
                            total_steps=total_steps, decay=decay,
                            runtime_bs=runtime_bs, runtime_steps=runtime_steps)
 
@@ -792,16 +809,8 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
                 opt_state, **common)
     mxu_precision = _PRECISIONS[precision]
 
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_params(model, params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_params(model, opt_state["m"])
-        v = pack_params(model, opt_state["v"])
+    run_key, flat, m, v = fused_prologue(
+        model, functools.partial(pack_params, model), key, params, opt_state)
 
     run = jax.jit(functools.partial(
         fused_engine_chunk, spec, model, lrate=lrate,
@@ -810,15 +819,15 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     ))
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, spec.n_uniform))
         )(start + jnp.arange(n))
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    u0 = cached_call(draw, run_key, start_step, label="draw", n=chunk)
     compiled = cached_compile(run, flat, m, v, u0, start_step,
                               label=f"eng-{problem.name}")
     compile_time = time.perf_counter() - t0
@@ -828,7 +837,8 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     t0 = time.perf_counter()
     while done < iterations:
         k = min(chunk, iterations - done)
-        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
+        u = (u0 if done == 0 and k == chunk
+             else draw(run_key, start_step + done, k))
         step_fn = compiled if k == chunk else run
         flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
@@ -865,7 +875,7 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
     if schedule is None:
         schedule = problem.defaults.schedule
 
-    init_key, run_key = jax.random.split(key)
+    init_key, run_key = cached_split(key)
     _draw_all = jax.jit(lambda k: jax.vmap(
         lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (batch_size, spec.n_uniform))
@@ -898,14 +908,14 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
-                              uniforms, jnp.float32(0.0),
+                              uniforms, np.float32(0.0),
                               label=f"engev-{problem.name}")
 
     def eval_fn(trial_index: int, lrate: float):
         flat = pack_params(model, jinit(jax.random.fold_in(init_key,
                                                            trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
-                                   jnp.float32(lrate))
+                                   np.float32(lrate))
         return np.asarray(losses), p
 
     return eval_fn
@@ -947,7 +957,7 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                          "schedule only (per-trial n_iters vs. a "
                          "compile-time decay horizon)")
 
-    init_key, run_key = jax.random.split(key)
+    init_key, run_key = cached_split(key)
     _draw_all = jax.jit(lambda k: jax.vmap(
         lambda i: jax.random.uniform(jax.random.fold_in(k, i),
                                      (max_batch, spec.n_uniform))
@@ -967,8 +977,8 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     compiled = cached_compile(
-        jax.jit(run), flat0, zeros, zeros, uniforms, jnp.float32(0.0),
-        jnp.int32(max_batch), jnp.int32(max_iters),
+        jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
+        np.int32(max_batch), np.int32(max_iters),
         label=f"engsw-{problem.name}")
 
     def eval_fn(trial_index: int, lrate: float, batch_size: int,
@@ -978,9 +988,9 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
         flat = pack_params(model, jinit(jax.random.fold_in(init_key,
                                                            trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
-                                   jnp.float32(lrate),
-                                   jnp.int32(batch_size),
-                                   jnp.int32(n_iters))
+                                   np.float32(lrate),
+                                   np.int32(batch_size),
+                                   np.int32(n_iters))
         return np.asarray(losses)[:n_iters], p
 
     return eval_fn
@@ -1147,16 +1157,8 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
 
     from differential_equations_dnn_tpu.train.trainer import TrainResult
 
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_params(model, params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_params(model, opt_state["m"])
-        v = pack_params(model, opt_state["v"])
+    run_key, flat, m, v = fused_prologue(
+        model, functools.partial(pack_params, model), key, params, opt_state)
 
     n2 = iterations - n1
     common = dict(lrate=lrate, steps_per_cell=steps_per_cell,
@@ -1173,15 +1175,15 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
         return flat, m, v, jnp.concatenate([l1, l2])
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, spec.n_uniform))
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = cached_call(draw, start_step, label="draw", n=n1)
-    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    u1 = cached_call(draw, run_key, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, run_key, start_step + n1, label="draw", n=n2)
     compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
                               label=f"engmx-{problem.name}")
     compile_time = time.perf_counter() - t0

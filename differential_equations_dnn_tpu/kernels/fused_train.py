@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from differential_equations_dnn_tpu.kernels.aot_cache import (
     cached_call,
     cached_compile,
+    fused_prologue,
 )
 
 _B1, _B2, _EPS = 0.9, 0.999, 1e-8
@@ -495,16 +496,8 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     # (256, 12) 25.9k; (512, 6, tile 128) 14.7k — while (64, 250), (256, 20)
     # and (512, 12) exhaust the Mosaic scoped stack at compile time.
     model = model or problem.default_model()
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_params(model, params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_params(model, opt_state["m"])
-        v = pack_params(model, opt_state["v"])
+    run_key, flat, m, v = fused_prologue(
+        model, functools.partial(pack_params, model), key, params, opt_state)
 
     run = jax.jit(functools.partial(
         heat_fused_train_chunk, model,
@@ -513,17 +506,18 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     ))
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         # Per-step keyed collocation draws: step i always sees the same
-        # uniforms regardless of how the run is chunked or resumed.
+        # uniforms regardless of how the run is chunked or resumed. The
+        # key is an ARGUMENT so the cached program is seed-independent.
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, 2))
         )(start + jnp.arange(n))
 
     chunk = max(1, min(chunk_size, iterations))
     t0 = time.perf_counter()
-    u0 = cached_call(draw, start_step, label="draw", n=chunk)
+    u0 = cached_call(draw, run_key, start_step, label="draw", n=chunk)
     compiled = cached_compile(run, flat, m, v, u0, start_step,
                               label="heat")
     compile_time = time.perf_counter() - t0
@@ -533,7 +527,8 @@ def train_heat_fused_result(problem, key, iterations, batch_size=64,
     t0 = time.perf_counter()
     while done < iterations:
         k = min(chunk, iterations - done)
-        u = u0 if done == 0 and k == chunk else draw(start_step + done, k)
+        u = (u0 if done == 0 and k == chunk
+             else draw(run_key, start_step + done, k))
         step_fn = compiled if k == chunk else run
         flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
@@ -562,16 +557,8 @@ def _train_mixed_single_dispatch(problem, key, iterations, n1, batch_size,
     from differential_equations_dnn_tpu.train.trainer import TrainResult
 
     model = model or problem.default_model()
-    init_key, run_key = jax.random.split(key)
-    if params is None:
-        params = cached_call(jax.jit(model.init), init_key, label="init")
-    flat = pack_params(model, params)
-    if opt_state is None:
-        m = tuple(jnp.zeros_like(p) for p in flat)
-        v = tuple(jnp.zeros_like(p) for p in flat)
-    else:
-        m = pack_params(model, opt_state["m"])
-        v = pack_params(model, opt_state["v"])
+    run_key, flat, m, v = fused_prologue(
+        model, functools.partial(pack_params, model), key, params, opt_state)
 
     n2 = iterations - n1
     common = dict(x_max=problem.x_max, t_max=problem.t_max,
@@ -589,15 +576,15 @@ def _train_mixed_single_dispatch(problem, key, iterations, n1, batch_size,
         return flat, m, v, jnp.concatenate([l1, l2])
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def draw(start, n):
+    def draw(rk, start, n):
         return jax.vmap(
-            lambda i: jax.random.uniform(jax.random.fold_in(run_key, i),
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
                                          (batch_size, 2))
         )(start + jnp.arange(n))
 
     t0 = time.perf_counter()
-    u1 = cached_call(draw, start_step, label="draw", n=n1)
-    u2 = cached_call(draw, start_step + n1, label="draw", n=n2)
+    u1 = cached_call(draw, run_key, start_step, label="draw", n=n1)
+    u2 = cached_call(draw, run_key, start_step + n1, label="draw", n=n2)
     compiled = cached_compile(run, flat, m, v, u1, u2, start_step,
                               label="heatmx")
     compile_time = time.perf_counter() - t0

@@ -15,6 +15,7 @@ from differential_equations_dnn_tpu.sweep.search import (
     randint,
     uniform,
     choice,
+    heat_search_space,
     random_search,
     successive_halving,
     tpe_halving,
@@ -34,6 +35,7 @@ __all__ = [
     "randint",
     "uniform",
     "choice",
+    "heat_search_space",
     "random_search",
     "successive_halving",
     "tpe_halving",

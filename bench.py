@@ -216,6 +216,12 @@ def main():
         train,
     )
 
+    # Warm-process probe FIRST — before this process touches the device:
+    # the TPU is single-client, so probing later would measure the
+    # subprocess WAITING for the parent, not its own setup (observed:
+    # 492 s "setup" of which 2.6 s was real).
+    probe = measure_warm_process()
+
     warmup_s = warmup_compiler()
     problem = Heat1D(taps="taylor")
     model = problem.default_model()
@@ -305,7 +311,6 @@ def main():
         extras.update(sweep_throughput())
     except Exception as e:  # pragma: no cover — bench must always print
         extras["sweep_throughput_error"] = f"{type(e).__name__}: {e}"[:200]
-    probe = measure_warm_process()
     if probe:
         extras["warm_process_setup_s"] = probe["setup_s"]
         extras["warm_process_detail"] = probe

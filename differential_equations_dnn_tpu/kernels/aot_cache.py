@@ -33,6 +33,15 @@ import tempfile
 
 import jax
 
+# Mosaic kernel payloads embed Python TRACEBACKS in their MLIR locations,
+# so the SAME program lowered from different call sites (api.solve vs a
+# direct driver call, bench main vs its warm probe) hashes differently and
+# never cross-hits the cache. Locations are debug-only — strip the
+# traceback frames (export JAX_TRACEBACK_IN_LOCATIONS_LIMIT to override
+# when debugging a kernel lowering).
+if "JAX_TRACEBACK_IN_LOCATIONS_LIMIT" not in os.environ:
+    jax.config.update("jax_traceback_in_locations_limit", 0)
+
 _SENTINEL = object()
 _status = {"hits": 0, "misses": 0, "fallbacks": 0}
 

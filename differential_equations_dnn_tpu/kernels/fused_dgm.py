@@ -672,7 +672,7 @@ def train_dgm_fused_result(problem, key, iterations, batch_size=100,
         flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
         done += k
-    jax.block_until_ready(flat)
+    flat = tuple(np.asarray(t) for t in flat)  # host-copy sync (see above)
     wall = time.perf_counter() - t0
     return TrainResult(
         params=unpack_dgm(flat),
@@ -734,6 +734,11 @@ def _train_dgm_mixed_single_dispatch(problem, spec, key, iterations, n1,
 
     t0 = time.perf_counter()
     flat, m, v, losses = compiled(flat, m, v, u1, u2, start_step)
+    # Host-copy sync: block_until_ready on a DESERIALIZED executable's
+    # outputs can return before execution completes on this backend
+    # (observed: 15k-step walls reading ~0); the device->host transfer
+    # cannot lie.
+    losses = np.asarray(losses)
     jax.block_until_ready(flat)
     wall = time.perf_counter() - t0
     return TrainResult(

@@ -472,6 +472,75 @@ class HardHeatSpec:
 
 
 @dataclass(frozen=True)
+class HardSimpleODESpec:
+    """simple_ode with the hard IC ansatz y = y_ic + (t/t_max)·N
+    (models/hard.py time_ic_ansatz): interior-only, R=2 streams vs the
+    soft spec's 3. Residual: y' + y with y' = N/t_max + (t/t_max)·N_t."""
+    p: object
+    n_uniform: int = 1
+    groups = (Group(n_first=1),)   # N, N_t
+
+    def build(self, u):
+        t = (self.p.sample_scale * self.p.t_max) * u[:, :1]
+        one = jnp.ones_like(t)
+        X = jnp.concatenate([t, one], 0)
+        return X, {"t": t}
+
+    def loss(self, outs, ctx):
+        n, n_t = outs
+        p = self.p
+        t = ctx["t"]
+        y = p.y_ic + (t / p.t_max) * n
+        dydt = n / p.t_max + (t / p.t_max) * n_t
+        return _smean(jnp.square(dydt + y), ctx)
+
+
+@dataclass(frozen=True)
+class HardHeat2DSpec:
+    """2-D heat with the hard ansatz u = sin(x)sin(y) + D·N,
+    D = t·x(x_max−x)·y(x_max−y)/scale (models/hard.py heat2d_ansatz):
+    interior-only — R=6 streams vs the soft spec's 12, and 3 uniforms per
+    point vs 4 (no boundary-edge sampling)."""
+    p: object
+    n_uniform: int = 3
+    groups = (Group(n_second=2, n_first=1),)  # N, (N_x,N_xx), (N_y,N_yy), N_t
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        y = self.p.x_max * u[:, 1:2]
+        t = self.p.t_max * u[:, 2:3]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        X = jnp.concatenate([
+            _cat(x, y, t),
+            _cat(one, zero, zero), _cat(zero, zero, zero),
+            _cat(zero, one, zero), _cat(zero, zero, zero),
+            _cat(zero, zero, one),
+        ], 0)
+        return X, {"x": x, "y": y, "t": t}
+
+    def loss(self, outs, ctx):
+        n, n_x, n_xx, n_y, n_yy, n_t = outs
+        p = self.p
+        x, y, t = ctx["x"], ctx["y"], ctx["t"]
+        scale = p.t_max * (p.x_max / 2.0) ** 4
+        gx = x * (p.x_max - x)
+        gy = y * (p.x_max - y)
+        D = t * gx * gy / scale
+        D_t = gx * gy / scale
+        D_x = t * (p.x_max - 2.0 * x) * gy / scale
+        D_xx = -2.0 * t * gy / scale
+        D_y = t * gx * (p.x_max - 2.0 * y) / scale
+        D_yy = -2.0 * t * gx / scale
+        A = jnp.sin(x) * jnp.sin(y)
+        u_t = D_t * n + D * n_t
+        u_xx = -A + D_xx * n + 2.0 * D_x * n_x + D * n_xx
+        u_yy = -A + D_yy * n + 2.0 * D_y * n_y + D * n_yy
+        r = u_t - p.kappa * (u_xx + u_yy)
+        return _smean(jnp.square(r), ctx)
+
+
+@dataclass(frozen=True)
 class HardWaveSpec:
     """Wave equation, hard constraint u = sin(x) + D·N with
     D = t²·x·(x_max−x)/scale (models/hard.py wave1d_ansatz — the t² factor
@@ -620,7 +689,9 @@ SPECS = {
 
 
 HARD_SPECS = {
+    "simple_ode": HardSimpleODESpec,
     "heat": HardHeatSpec,
+    "heat2d": HardHeat2DSpec,
     "wave": HardWaveSpec,
     "poisson": HardPoissonSpec,
 }
@@ -843,7 +914,7 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         flat, m, v, losses = step_fn(flat, m, v, u, start_step + done)
         losses_out.append(np.asarray(losses))
         done += k
-    jax.block_until_ready(flat)
+    flat = tuple(np.asarray(t) for t in flat)  # host-copy sync (see above)
     wall = time.perf_counter() - t0
     return TrainResult(
         params=unpack_params(model, flat),
@@ -957,6 +1028,13 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                          "schedule only (per-trial n_iters vs. a "
                          "compile-time decay horizon)")
 
+    # Pad the compiled horizon to a multiple of 1000: a prime/odd
+    # max_iters (e.g. the reference space's 49999) would force S=1 steps
+    # per grid cell. Trials still clamp to the caller's max_iters; the
+    # padding steps are masked off by the runtime n_steps gate.
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+
     init_key, run_key = cached_split(key)
     _draw_all = jax.jit(lambda k: jax.vmap(
         lambda i: jax.random.uniform(jax.random.fold_in(k, i),
@@ -984,7 +1062,7 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     def eval_fn(trial_index: int, lrate: float, batch_size: int,
                 n_iters: int):
         batch_size = max(1, min(int(batch_size), max_batch))
-        n_iters = max(1, min(int(n_iters), max_iters))
+        n_iters = max(1, min(int(n_iters), user_max))
         flat = pack_params(model, jinit(jax.random.fold_in(init_key,
                                                            trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
@@ -1135,7 +1213,8 @@ def _timed_ensemble_run(run, flat, uniforms, timings):
     compile_time = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = compiled(flat, uniforms)
-    jax.block_until_ready(out[1])
+    out = (out[0], np.asarray(out[1]))  # host-copy sync (deserialized
+    #                                     executables may not block)
     run_time = time.perf_counter() - t0
     if timings is not None:
         timings.update(compile_time=compile_time, run_time=run_time)
@@ -1190,6 +1269,11 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
 
     t0 = time.perf_counter()
     flat, m, v, losses = compiled(flat, m, v, u1, u2, start_step)
+    # Host-copy sync: block_until_ready on a DESERIALIZED executable's
+    # outputs can return before execution completes on this backend
+    # (observed: 15k-step walls reading ~0); the device->host transfer
+    # cannot lie.
+    losses = np.asarray(losses)
     jax.block_until_ready(flat)
     wall = time.perf_counter() - t0
     return TrainResult(

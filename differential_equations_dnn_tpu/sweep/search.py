@@ -403,8 +403,12 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         bspec = space.specs.get("batch_size")
         if isinstance(bspec, randint):
             max_bs = min(max_bs, bspec.high - 1)
+        # Compile at a sublane-friendly width (multiple of 64): the space's
+        # 511-row cap would give 7x511-row stream tiles padded everywhere;
+        # trials still clamp to max_bs and the mask covers the extra rows.
+        compile_bs = -(-max_bs // 64) * 64
         _ev = fused_engine.make_sweep_evaluator(problem, key, budget,
-                                               max_batch=max_bs,
+                                               max_batch=compile_bs,
                                                model=model)
 
         def resolve(c):

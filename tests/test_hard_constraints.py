@@ -111,8 +111,11 @@ def test_hard_constraint_solve_and_fused_guard():
     res = solve("simple_ode", constraint="hard", iterations=150,
                 batch_size=16, lrate=1e-3, nodes=8)
     assert np.isfinite(res.mae)
+    # Equations WITHOUT a fused hard spec still get a clear scan-only error
+    # (fitzhugh_nagumo's hard ansatz wraps a DGM net).
     with pytest.raises(ValueError, match="scan engine"):
-        solve("simple_ode", constraint="hard", engine="fused", iterations=10)
+        solve("fitzhugh_nagumo", constraint="hard", engine="fused",
+              iterations=10)
 
 
 # ---------------------------------------------------------------------------
@@ -142,10 +145,26 @@ def _hard_batch(name, prob, u, B):
                 "b_x1": jnp.concatenate([xm, e], 1),
                 "b_y0": jnp.concatenate([e, zeros], 1),
                 "b_y1": jnp.concatenate([e, xm], 1)}
+    if name == "simple_ode":
+        t = (prob.sample_scale * prob.t_max) * u[:, :1]
+        return {"t": t, "t0": zeros}
+    if name == "heat2d":
+        x = prob.x_max * u[:, :1]
+        y = prob.x_max * u[:, 1:2]
+        t = prob.t_max * u[:, 2:3]
+        e = prob.x_max * u[:, :1]
+        xm = jnp.full((B, 1), prob.x_max)
+        return {"xt": jnp.concatenate([x, y, t], 1),
+                "x0": jnp.concatenate([x, y, zeros], 1),
+                "b_x0": jnp.concatenate([zeros, e, t], 1),
+                "b_x1": jnp.concatenate([xm, e, t], 1),
+                "b_y0": jnp.concatenate([e, zeros, t], 1),
+                "b_y1": jnp.concatenate([e, xm, t], 1)}
     raise AssertionError(name)
 
 
-@pytest.mark.parametrize("name", ["heat", "wave", "poisson"])
+@pytest.mark.parametrize("name", ["simple_ode", "heat", "heat2d", "wave",
+                                  "poisson"])
 def test_hard_fused_spec_matches_scan_loss_grad(name, key):
     """The interior-only hard specs compose ANALYTIC ansatz derivatives
     (u = A + D·N); their loss/gradients must equal the scan path's
@@ -174,7 +193,8 @@ def test_hard_fused_spec_matches_scan_loss_grad(name, key):
                                    rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["heat", "wave", "poisson"])
+@pytest.mark.parametrize("name", ["simple_ode", "heat", "heat2d", "wave",
+                                  "poisson"])
 def test_hard_constraint_trains_on_fused_engine(name, key):
     """solve(..., constraint='hard', engine='fused') trains in-kernel
     (VERDICT r2 weak #4): constraints still hold exactly after training."""
@@ -187,7 +207,16 @@ def test_hard_constraint_trains_on_fused_engine(name, key):
     model = res.problem.default_model()
     n = 8
     t = jnp.linspace(0.0, getattr(res.problem, "t_max", 1.0), n)[:, None]
-    if name in ("heat", "wave"):
+    if name == "simple_ode":
+        y0 = model.apply(res.params, jnp.zeros((n, 1)))
+        np.testing.assert_allclose(np.asarray(y0), res.problem.y_ic,
+                                   atol=1e-6)
+    elif name == "heat2d":
+        e = jnp.linspace(0.0, res.problem.x_max, n)[:, None]
+        bd = jnp.concatenate([jnp.zeros((n, 1)), e, t], 1)
+        np.testing.assert_allclose(
+            np.asarray(model.apply(res.params, bd)), 0.0, atol=1e-6)
+    elif name in ("heat", "wave"):
         bd = jnp.concatenate([jnp.full((n, 1), res.problem.x_max), t], 1)
         np.testing.assert_allclose(
             np.asarray(model.apply(res.params, bd)), 0.0, atol=1e-6)

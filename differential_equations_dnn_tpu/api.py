@@ -78,9 +78,15 @@ def _polish_and_select(problem, model, stacked, val_losses, seed, steps,
     FRESH off-grid batch. Returns (picked index, params, polish losses)."""
     from differential_equations_dnn_tpu.train import finetune_lbfgs
 
+    import jax.numpy as jnp
+
     order = np.argsort(np.where(np.isfinite(val_losses), val_losses, np.inf))
     fresh = problem.validation_sample(jax.random.key(seed + 4), 4096)
-    select = jax.jit(lambda p: problem.loss(model.apply, p, fresh))
+    # Selection metric = the PLAIN mean residual (point_loss), not
+    # problem.loss: training protocols like FN's causal weighting would
+    # otherwise discount late-time divergence out of the selection score.
+    select = jax.jit(
+        lambda p: jnp.mean(problem.point_loss(model.apply, p, fresh)))
     best = None
     for i in order[: min(top_k, len(order))]:
         p = jax.tree.map(lambda a: a[int(i)], stacked)
@@ -94,7 +100,11 @@ def _polish_and_select(problem, model, stacked, val_losses, seed, steps,
 
 
 def _fused_route(problem, model, batch_size) -> str:
-    """Which fused engine serves (problem, model): "dgm" or "engine".
+    """Which fused engine serves (problem, model): "heat" (the specialised
+    tuned kernel, kernels.fused_train), "dgm" (kernels.fused_dgm) or
+    "engine" (the generic spec engine, kernels.fused_engine). The single
+    source of truth for fused dispatch — solve() and the CLI both consume
+    the returned route.
 
     Raises an error naming the engine whose requirements ALMOST matched —
     a combo that just misses the DGM engine's conditions (fitzhugh_nagumo
@@ -144,6 +154,8 @@ def _fused_route(problem, model, batch_size) -> str:
             f"{problem.name!r}'s fused path is the generic MLP engine, "
             f"which needs a plain tanh MLP (no BatchNorm, no Fourier "
             f"features; got {type(model).__name__}); use engine='scan'")
+    if problem.name == "heat":
+        return "heat"  # soft-constraint heat: the specialised tuned kernel
     return "engine"
 
 
@@ -222,10 +234,9 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     model = model or problem.default_model()
 
     state = None
-    if engine == "fused" and ensemble <= 1:
-        _fused_route(problem, model, config.batch_size)  # informative errors
+    route = (_fused_route(problem, model, config.batch_size)
+             if engine == "fused" else None)
     if ensemble > 1 and engine == "fused":
-        route = _fused_route(problem, model, config.batch_size)
         if mesh is not None:
             # Sharded fused ensemble: replicas distributed over the mesh's
             # 'pop' axis via shard_map, each running its whole training
@@ -318,8 +329,12 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         val_batch = problem.validation_sample(jax.random.key(seed + 1), 4096)
 
         def trial_loss(p, s):
+            import jax.numpy as jnp
+
+            # Plain mean residual (see _polish_and_select): protocol
+            # weightings (causal) must not distort replica selection.
             apply_fn = model.apply if s is None else train_apply(model, s)
-            return problem.loss(apply_fn, p, val_batch)
+            return jnp.mean(problem.point_loss(apply_fn, p, val_batch))
 
         if stacked_state is None:
             val_losses = jax.jit(jax.vmap(lambda p: trial_loss(p, None)))(stacked)
@@ -351,38 +366,35 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         if engine == "fused":
             if mesh is not None:
                 raise ValueError("engine='fused' is single-chip")
-            from differential_equations_dnn_tpu.kernels import fused_dgm
-
-            if (problem.name == "heat"
-                    and getattr(problem, "constraint", "soft") == "soft"):
+            common = dict(batch_size=config.batch_size, lrate=config.lrate,
+                          model=model, precision=precision)
+            if route == "heat":
                 from differential_equations_dnn_tpu.kernels.fused_train import (
                     train_heat_fused_result,
                 )
 
                 result = train_heat_fused_result(
                     problem, jax.random.key(seed), config.iterations,
-                    batch_size=config.batch_size, lrate=config.lrate,
-                    model=model, precision=precision)
-            elif fused_dgm.supports(problem, model, config.batch_size):
+                    **common)
+            elif route == "dgm":
                 # DGM-architecture equations (fitzhugh_nagumo dgm arch,
                 # fredholm gauss — kernels.fused_dgm).
+                from differential_equations_dnn_tpu.kernels import fused_dgm
+
                 result = fused_dgm.train_dgm_fused_result(
                     problem, jax.random.key(seed), config.iterations,
-                    batch_size=config.batch_size, lrate=config.lrate,
-                    model=model, precision=precision,
-                    schedule=config.schedule)
+                    schedule=config.schedule, **common)
             else:
                 # Generic spec-driven engine (wave, poisson, heat2d,
-                # burgers, simple_ode, ... — kernels.fused_engine.SPECS).
+                # burgers, simple_ode, volterra, hard-constraint specs —
+                # kernels.fused_engine.SPECS / HARD_SPECS).
                 from differential_equations_dnn_tpu.kernels.fused_engine import (
                     train_fused_result,
                 )
 
                 result = train_fused_result(
                     problem, jax.random.key(seed), config.iterations,
-                    batch_size=config.batch_size, lrate=config.lrate,
-                    model=model, precision=precision,
-                    schedule=config.schedule)
+                    schedule=config.schedule, **common)
         elif engine == "scan":
             result = train(problem, jax.random.key(seed), config, model=model,
                            mesh=mesh)

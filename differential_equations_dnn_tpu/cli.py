@@ -110,15 +110,14 @@ def _solve(problem, args):
     if fused and args.mesh:
         raise SystemExit("--engine fused is single-chip (use the default "
                          "scan engine with --mesh)")
-    if fused and getattr(args, "constraint", "soft") == "hard":
-        from differential_equations_dnn_tpu.kernels import fused_engine
+    route = None
+    if fused:
+        from differential_equations_dnn_tpu.api import _fused_route
 
-        if not (fused_engine.spec_for(problem) is not None
-                and fused_engine.supports(problem, model)):
-            raise SystemExit(
-                "--constraint hard with --engine fused needs a fused hard "
-                f"spec ({sorted(fused_engine.HARD_SPECS)} with the default "
-                "ansatz); other equations train it on the scan engine")
+        try:
+            route = _fused_route(problem, model, args.batch_size)
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
     params = opt_state = state = None
     start_step = 0
     if args.restore:
@@ -143,26 +142,25 @@ def _solve(problem, args):
             args.seed = int(ckpt["seed"])
         print(f"Restored checkpoint at step {start_step} from {args.restore}")
     if fused:
-        from differential_equations_dnn_tpu.kernels import fused_dgm
-
-        if (problem.name == "heat"
-                and getattr(problem, "constraint", "soft") == "soft"):
+        # Dispatch by the route api._fused_route already validated — the
+        # single source of truth for fused engine selection.
+        common = dict(batch_size=args.batch_size, lrate=args.lrate,
+                      model=model, params=params, opt_state=opt_state,
+                      start_step=start_step,
+                      precision=getattr(args, "precision", "highest"))
+        if route == "heat":
             from differential_equations_dnn_tpu.kernels.fused_train import (
                 train_heat_fused_result as _fused,
             )
 
-            result = _fused(
-                problem, jax.random.key(args.seed), args.niters,
-                batch_size=args.batch_size, lrate=args.lrate, model=model,
-                params=params, opt_state=opt_state, start_step=start_step,
-                precision=getattr(args, "precision", "highest"))
-        elif fused_dgm.supports(problem, model, args.batch_size):
+            result = _fused(problem, jax.random.key(args.seed), args.niters,
+                            **common)
+        elif route == "dgm":
+            from differential_equations_dnn_tpu.kernels import fused_dgm
+
             result = fused_dgm.train_dgm_fused_result(
                 problem, jax.random.key(args.seed), args.niters,
-                batch_size=args.batch_size, lrate=args.lrate, model=model,
-                params=params, opt_state=opt_state, start_step=start_step,
-                precision=getattr(args, "precision", "highest"),
-                schedule=config.schedule)
+                schedule=config.schedule, **common)
         else:
             from differential_equations_dnn_tpu.kernels.fused_engine import (
                 train_fused_result,
@@ -170,10 +168,7 @@ def _solve(problem, args):
 
             result = train_fused_result(
                 problem, jax.random.key(args.seed), args.niters,
-                batch_size=args.batch_size, lrate=args.lrate, model=model,
-                params=params, opt_state=opt_state, start_step=start_step,
-                precision=getattr(args, "precision", "highest"),
-                schedule=config.schedule)
+                schedule=config.schedule, **common)
     else:
         result = train(problem, jax.random.key(args.seed), config, mesh=mesh,
                        model=model, params=params, opt_state=opt_state,

@@ -102,14 +102,19 @@ class FitzHughNagumo(Problem):
 
     def sample(self, key, n):
         if self.causal_eps > 0.0:
-            # Stratified-uniform: one draw per equal slice of [0, t_max] —
-            # time-sorted by construction (the causal cumsum needs ordered
-            # residuals) and gap-free (the reference's fixed 200-point grid
-            # admits nets that oscillate between grid points).
+            # Stratified-uniform (one draw per equal slice of [0, t_max] —
+            # gap-free, unlike the reference's fixed 200-point grid), in
+            # SHUFFLED row order: the causal loss is permutation-invariant
+            # (comparison-mask cumsum), and the population sweeps mask
+            # trials to a row PREFIX — a time-sorted layout would make a
+            # masked trial train only on the earliest fraction of the
+            # domain.
             import jax
 
-            u = jax.random.uniform(key, (n, 1))
+            ku, kp = jax.random.split(key)
+            u = jax.random.uniform(ku, (n, 1))
             t = (jnp.arange(n, dtype=u.dtype)[:, None] + u) * (self.t_max / n)
+            t = jax.random.permutation(kp, t, axis=0)
             return {"t": t, "t0": jnp.zeros((n, 1))}
         sampler = GridSubsample(0.0, self.t_max, self.grid_points)
         return {"t": sampler.sample(key, n), "t0": jnp.zeros((n, 1))}

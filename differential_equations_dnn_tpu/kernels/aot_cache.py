@@ -33,17 +33,32 @@ import tempfile
 
 import jax
 
-# Mosaic kernel payloads embed Python TRACEBACKS in their MLIR locations,
-# so the SAME program lowered from different call sites (api.solve vs a
-# direct driver call, bench main vs its warm probe) hashes differently and
-# never cross-hits the cache. Locations are debug-only — strip the
-# traceback frames (export JAX_TRACEBACK_IN_LOCATIONS_LIMIT to override
-# when debugging a kernel lowering).
-if "JAX_TRACEBACK_IN_LOCATIONS_LIMIT" not in os.environ:
-    jax.config.update("jax_traceback_in_locations_limit", 0)
-
 _SENTINEL = object()
-_status = {"hits": 0, "misses": 0, "fallbacks": 0}
+_loc_stripped = False
+
+
+def _strip_locations():
+    """Mosaic kernel payloads embed Python TRACEBACKS in their MLIR
+    locations, so the SAME program lowered from different call sites
+    (api.solve vs a direct driver call, bench main vs its warm probe)
+    hashes differently and never cross-hits the cache. Locations are
+    debug-only — strip the traceback frames, but only once the cache is
+    actually in use (no import-time global config mutation; export
+    JAX_TRACEBACK_IN_LOCATIONS_LIMIT to override when debugging a kernel
+    lowering)."""
+    global _loc_stripped
+    if not _loc_stripped:
+        if "JAX_TRACEBACK_IN_LOCATIONS_LIMIT" not in os.environ:
+            jax.config.update("jax_traceback_in_locations_limit", 0)
+        _loc_stripped = True
+
+
+_status = {"hits": 0, "misses": 0, "fallbacks": 0, "memo_hits": 0}
+# In-process memo of loaded executables: repeated compiles of the same
+# program (e.g. Problem.evaluate building a fresh jit closure per call)
+# skip even the disk read + deserialize.
+_memo: dict = {}
+_MAX_DISK_ENTRIES = 512
 
 
 def cache_dir() -> str:
@@ -82,12 +97,17 @@ def cached_compile(jitted, *args, label: str = "prog", **kwargs):
     """``jitted.lower(*args, **kwargs).compile()`` with disk executable
     reuse. Works with any ``jax.jit``-wrapped callable (static argnames
     ride ``kwargs``)."""
-    lowered = jitted.lower(*args, **kwargs)
     if not enabled():
-        return lowered.compile()
+        return jitted.lower(*args, **kwargs).compile()
+    _strip_locations()
+    lowered = jitted.lower(*args, **kwargs)
     from jax.experimental import serialize_executable as se
 
-    path = os.path.join(cache_dir(), f"{label}-{_key(lowered)}.pkl")
+    k = _key(lowered)
+    if (label, k) in _memo:
+        _status["memo_hits"] += 1
+        return _memo[(label, k)]
+    path = os.path.join(cache_dir(), f"{label}-{k}.pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
@@ -97,6 +117,7 @@ def cached_compile(jitted, *args, label: str = "prog", **kwargs):
                 payload, in_tree, out_tree,
                 execution_devices=[by_id[i] for i in dev_ids])
             _status["hits"] += 1
+            _memo[(label, k)] = compiled
             return compiled
         except Exception:
             # Stale artifact (runtime/driver change, truncated write):
@@ -108,6 +129,7 @@ def cached_compile(jitted, *args, label: str = "prog", **kwargs):
                 pass
     compiled = lowered.compile()
     _status["misses"] += 1
+    _memo[(label, k)] = compiled
     _persist(compiled, path)
     return compiled
 
@@ -180,7 +202,28 @@ def _persist(compiled, path):
         with os.fdopen(fd, "wb") as fh:
             pickle.dump((payload, in_tree, out_tree, dev_ids), fh)
         os.replace(tmp, path)
+        _evict()
     except Exception:
         # Unserializable program (const-closed executables etc.) — the
         # compile itself succeeded, so just return it.
         _status["fallbacks"] += 1
+
+
+def _evict():
+    """Bound the cache directory: programs whose lowered text embeds
+    run-specific constants (e.g. eval closures over trained BatchNorm
+    state) key differently every run and would grow the directory without
+    bound. Keep the newest ``_MAX_DISK_ENTRIES``."""
+    try:
+        entries = [os.path.join(cache_dir(), f)
+                   for f in os.listdir(cache_dir()) if f.endswith(".pkl")]
+        if len(entries) <= _MAX_DISK_ENTRIES:
+            return
+        entries.sort(key=os.path.getmtime)
+        for p in entries[:len(entries) - _MAX_DISK_ENTRIES]:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    except OSError:
+        pass

@@ -76,6 +76,10 @@ class HardConstraint:
         # hard-constraint specs (kernels.fused_engine.HARD_SPECS) train the
         # RAW net inside the kernel and re-apply the analytic ansatz in the
         # spec loss, so the kernel scaffolding reads the net's shape here.
+        # Never delegate dunders or 'net' itself: copy/pickle protocol
+        # probes would otherwise recurse through an uninitialised instance.
+        if name.startswith("__") or name == "net":
+            raise AttributeError(name)
         return getattr(self.net, name)
 
 

@@ -406,10 +406,17 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         # Compile at a sublane-friendly width (multiple of 64): the space's
         # 511-row cap would give 7x511-row stream tiles padded everywhere;
         # trials still clamp to max_bs and the mask covers the extra rows.
+        # schedule="constant" mirrors the reference's sweep protocol
+        # (optimize_heat_ray.py trials run fixed-lr Adam) AND is required:
+        # the in-kernel decay schedules use a compile-time horizon, which
+        # cannot follow per-trial runtime budgets. Equations whose solve()
+        # default is cosine (wave, poisson, heat2d, volterra) sweep with
+        # constant lr here, exactly like the reference's Optuna trials.
         compile_bs = -(-max_bs // 64) * 64
         _ev = fused_engine.make_sweep_evaluator(problem, key, budget,
                                                max_batch=compile_bs,
-                                               model=model)
+                                               model=model,
+                                               schedule="constant")
 
         def resolve(c):
             return {"lrate": float(c.get("lrate", problem.defaults.lrate)),

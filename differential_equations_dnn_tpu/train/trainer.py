@@ -121,7 +121,11 @@ class TrainConfig:
     # crash): host-side numpy snapshots of (params, opt_state) every
     # ``snapshot_every`` chunks; on a device runtime failure the trainer
     # restores the snapshot and retries up to ``max_retries`` times.
-    # snapshot_every=0 disables snapshots and recovery.
+    # snapshot_every=0 disables snapshots and recovery. NOTE: the unit is
+    # CHUNKS, so the maximum replayed work on recovery is
+    # snapshot_every * chunk_size steps — if you lower the recovery window
+    # rather than the dispatch granularity, lower snapshot_every, not
+    # chunk_size (small chunks pay the per-dispatch tunnel latency).
     snapshot_every: int = 1
     max_retries: int = 2
 

@@ -41,10 +41,15 @@ def test_roundtrip_and_hit(forced_cache, key):
         # fallback path must still have produced a working compile.
         assert aot_cache.stats()["fallbacks"] > before.get("fallbacks", 0)
         return
+    aot_cache._memo.clear()  # force the DISK path (memo would short-circuit)
     c2 = aot_cache.cached_compile(f, x, label="t")
     y2 = np.asarray(c2(x))
     np.testing.assert_array_equal(y1, y2)
     assert aot_cache.stats()["hits"] > before.get("hits", 0)
+    # And the memo: a third identical compile returns the same object.
+    c3 = aot_cache.cached_compile(f, x, label="t")
+    assert c3 is c2
+    assert aot_cache.stats()["memo_hits"] > before.get("memo_hits", 0)
 
 
 def test_stale_artifact_falls_back(forced_cache):
@@ -56,6 +61,7 @@ def test_stale_artifact_falls_back(forced_cache):
     aot_cache.cached_compile(f, x, label="s")
     for p in forced_cache.glob("s-*.pkl"):
         p.write_bytes(b"corrupt")
+    aot_cache._memo.clear()  # force the disk read of the corrupt artifact
     c = aot_cache.cached_compile(f, x, label="s")  # must not raise
     np.testing.assert_array_equal(np.asarray(c(x)), np.full((4,), 2.0))
 

@@ -337,3 +337,23 @@ def test_volterra_short_training_converges(key):
 
     res = solve("volterra", iterations=400, batch_size=64, nodes=20)
     assert res.mae < 0.2
+
+
+def test_fn_causal_sample_prefix_covers_domain(key):
+    """The causal stratified sampler must return SHUFFLED rows: population
+    sweeps mask trials to a row prefix, and a time-sorted layout would
+    train a bs=50-of-200 trial only on the first quarter of [0, t_max]
+    (round-3 review finding)."""
+    import jax
+
+    from differential_equations_dnn_tpu.equations import PROBLEMS
+
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    assert prob.causal_eps > 0
+    t = np.asarray(prob.sample(jax.random.key(0), 200)["t"])[:, 0]
+    prefix = t[:50]
+    assert prefix.min() < 0.15 * prob.t_max
+    assert prefix.max() > 0.85 * prob.t_max
+    # ... while remaining stratified over the full batch (gap-free).
+    gaps = np.diff(np.sort(t))
+    assert gaps.max() < 3.0 * prob.t_max / 200

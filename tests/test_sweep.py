@@ -256,3 +256,22 @@ def test_tpe_halving_composed(key):
     best = result.best_params()
     single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+
+def test_tpe_search_fused_full_space_cosine_equation(key):
+    """Equations whose solve() default is a cosine schedule (wave etc.)
+    must still sweep the full space — trials run constant-lr like the
+    reference's Optuna protocol (round-3 review finding: the evaluator
+    rejects non-constant schedules, so the full-space branch pins
+    schedule='constant' instead of crashing)."""
+    from differential_equations_dnn_tpu.equations import PROBLEMS
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = PROBLEMS["wave"]()
+    assert prob.defaults.schedule == "cosine"
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16),
+                         "n_iters": randint(20, 61)})
+    result = tpe_search_fused(prob, key, num_samples=2, space=space)
+    assert len(result.configs) == 2
+    assert np.isfinite(result.best_score)

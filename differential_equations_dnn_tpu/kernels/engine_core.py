@@ -46,9 +46,17 @@ from differential_equations_dnn_tpu.kernels.fused_train import (
 
 
 def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
-                      has_const, has_runtime, step0_ref, lr_ref, *rest):
+                      has_const, has_runtime, mask_rows, step0_ref, lr_ref,
+                      *rest):
     """Generic kernel body: S Adam steps per grid cell over ``n_tensors``
-    parameter tensors, with ``step_math`` supplying loss + grads."""
+    parameter tensors, with ``step_math`` supplying loss + grads.
+
+    ``has_runtime`` = the bs/n_steps SMEM scalars are present (steps past
+    n_steps freeze); ``mask_rows`` = rows >= bs are additionally masked out
+    of the loss/grad (requires the masked ``step_math`` signature). An
+    engine can run with step gating alone (``mask_rows=False``) when its
+    batch width is compile-time but the trial budget is runtime — the DGM
+    sweep evaluator's mode."""
     if has_runtime:
         bs_ref, nsteps_ref, u_ref, *refs = rest
     else:
@@ -88,7 +96,7 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
 
             def tile_math(t):
                 u_slice = u_ref[s, t * tile:(t + 1) * tile]
-                if not has_runtime:
+                if not mask_rows:
                     return step_math(params, u_slice, const)
                 rows = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
                         + t * tile)
@@ -101,7 +109,7 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
                 loss_t, grads_t = tile_math(t)
                 loss = loss + loss_t
                 grads = tuple(g + gt for g, gt in zip(grads, grads_t))
-            if T > 1 and not has_runtime:
+            if T > 1 and not mask_rows:
                 # Equal-size tiles: the mean of tile means is the batch
                 # mean. (Runtime masking returns /bs partial sums instead,
                 # which accumulate without rescaling.)
@@ -121,13 +129,20 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
             lr = lr_ref[0]
             # Per-step learning rate (matches train.trainer's optax
             # schedules: cosine_decay_schedule / exponential_decay with end
-            # value lr·decay).
+            # value lr·decay). In runtime-masked sweep mode the decay
+            # horizon is the TRIAL's own n_steps (SMEM scalar), not the
+            # compiled max — a short trial sees the same full decay curve
+            # a standalone run of its own budget would.
+            if has_runtime and schedule != "constant":
+                horizon = jnp.maximum(nsteps_ref[0].astype(jnp.float32), 1.0)
+            else:
+                horizon = total
             if schedule == "cosine":
-                frac = jnp.minimum((t - 1.0) / total, 1.0)
+                frac = jnp.minimum((t - 1.0) / horizon, 1.0)
                 lr_t = lr * (decay + (1.0 - decay) * 0.5
                              * (1.0 + jnp.cos(math.pi * frac)))
             elif schedule == "exponential":
-                lr_t = lr * jnp.exp(((t - 1.0) / total) * math.log(decay))
+                lr_t = lr * jnp.exp(((t - 1.0) / horizon) * math.log(decay))
             else:
                 lr_t = lr
             for k in range(n_tensors):
@@ -162,6 +177,7 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
     K, B, U = uniforms.shape
     n_tensors = len(shapes)
     has_runtime = runtime_bs is not None or runtime_steps is not None
+    mask_rows = runtime_bs is not None
     if has_runtime:
         if runtime_bs is None:
             runtime_bs = B
@@ -170,7 +186,8 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
 
     kernel = functools.partial(fused_adam_kernel, step_math, n_tensors, B,
                                S, T, schedule, float(total_steps),
-                               float(decay), const is not None, has_runtime)
+                               float(decay), const is not None, has_runtime,
+                               mask_rows)
 
     state_specs = [
         pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),

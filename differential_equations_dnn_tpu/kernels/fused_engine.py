@@ -1007,7 +1007,9 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     equations.base), and n_iters freezes every step past the trial's own
     budget (``pl.when`` skip), so the returned state IS the n_iters-step
     state and the final loss matches a standalone n_iters run over the
-    same collocation stream."""
+    same collocation stream. Decay schedules ("cosine"/"exponential")
+    follow each trial's OWN n_iters horizon (runtime SMEM scalar), again
+    matching a standalone run of that budget."""
     spec = spec_for(problem)
     if spec is None:
         raise ValueError(f"no fused-engine spec for {problem.name!r}")
@@ -1021,12 +1023,10 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                          "schedule's phase split is compile-time, the "
                          "trial budget is runtime); use 'highest' or "
                          "'default'")
-    if schedule != "constant":
-        # The in-kernel schedules decay over the COMPILE-TIME max_iters
-        # horizon; a trial stopping earlier would see a truncated curve.
-        raise ValueError("the sweep evaluator supports the constant lr "
-                         "schedule only (per-trial n_iters vs. a "
-                         "compile-time decay horizon)")
+    # Decay schedules are supported: in runtime-masked mode the kernel
+    # reads the decay horizon from the trial's own n_steps SMEM scalar
+    # (engine_core.fused_adam_kernel), so a short trial sees the same
+    # full cosine/exponential curve a standalone run of its budget would.
 
     # Pad the compiled horizon to a multiple of 1000: a prime/odd
     # max_iters (e.g. the reference space's 49999) would force S=1 steps

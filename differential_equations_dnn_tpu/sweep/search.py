@@ -340,7 +340,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                      max_iters: int | None = None,
                      batch_size: int | None = None,
                      max_batch_size: int = 512,
-                     gamma: float = 0.25) -> SweepResult:
+                     gamma: float = 0.25,
+                     schedule: str = "constant") -> SweepResult:
     """TPE with every proposal trained inside the fused Pallas kernel
     through ONE compiled executable.
 
@@ -357,7 +358,12 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     lr-only spaces route through the leaner fixed-shape evaluator
     (make_lr_evaluator / the DGM engine's make_trial_evaluator); the DGM
     engine itself is lr-only (its equations' batch caps are tiny — use
-    the population TPE for their full spaces)."""
+    the population TPE for their full spaces).
+
+    ``schedule`` sets the per-trial lr schedule ("constant" default —
+    the reference's fixed-lr Optuna protocol; "cosine"/"exponential"
+    decay over each trial's own n_iters via the runtime in-kernel
+    horizon)."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
@@ -375,7 +381,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         budget = int(max_iters if max_iters is not None
                      else problem.defaults.iterations)
         _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
-                                             batch_size=bs, model=model)
+                                             batch_size=bs, model=model,
+                                             schedule=schedule)
         eval_fn = lambda t, c: _ev(t, float(c["lrate"]))
         resolve = lambda c: {"lrate": float(c["lrate"]), "n_iters": budget,
                              "batch_size": bs}
@@ -384,7 +391,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         budget = int(max_iters if max_iters is not None
                      else problem.defaults.iterations)
         _ev = fused_engine.make_lr_evaluator(problem, key, budget,
-                                             batch_size=bs, model=model)
+                                             batch_size=bs, model=model,
+                                             schedule=schedule)
         eval_fn = lambda t, c: _ev(t, float(c["lrate"]))
         resolve = lambda c: {"lrate": float(c["lrate"]), "n_iters": budget,
                              "batch_size": bs}
@@ -406,17 +414,16 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         # Compile at a sublane-friendly width (multiple of 64): the space's
         # 511-row cap would give 7x511-row stream tiles padded everywhere;
         # trials still clamp to max_bs and the mask covers the extra rows.
-        # schedule="constant" mirrors the reference's sweep protocol
-        # (optimize_heat_ray.py trials run fixed-lr Adam) AND is required:
-        # the in-kernel decay schedules use a compile-time horizon, which
-        # cannot follow per-trial runtime budgets. Equations whose solve()
-        # default is cosine (wave, poisson, heat2d, volterra) sweep with
-        # constant lr here, exactly like the reference's Optuna trials.
+        # The default schedule="constant" mirrors the reference's sweep
+        # protocol (optimize_heat_ray.py trials run fixed-lr Adam);
+        # "cosine"/"exponential" decay over each trial's OWN n_iters
+        # (runtime horizon in-kernel), so sweeping an equation whose
+        # solve() default is cosine can match its deployment schedule.
         compile_bs = -(-max_bs // 64) * 64
         _ev = fused_engine.make_sweep_evaluator(problem, key, budget,
                                                max_batch=compile_bs,
                                                model=model,
-                                               schedule="constant")
+                                               schedule=schedule)
 
         def resolve(c):
             return {"lrate": float(c.get("lrate", problem.defaults.lrate)),

@@ -36,6 +36,20 @@ def test_solve_passes_problem_kwargs():
     assert res.problem.quadrature == "gauss"
 
 
+def test_fredholm_tuned_defaults_no_auto_polish():
+    """Fredholm's default config is the tuned lr 3e-3 + cosine (one
+    unpolished run beats the reference's 0.0134 on every seed; 10-seed
+    TPU measurement MAE 0.0008-0.0024), so the round-2 automatic 200-step
+    L-BFGS polish is retired: _auto_defaults returns (0, 0)."""
+    from differential_equations_dnn_tpu.api import _auto_defaults
+    from differential_equations_dnn_tpu.equations import Fredholm2
+
+    prob = Fredholm2()
+    assert prob.defaults.lrate == pytest.approx(3e-3)
+    assert prob.defaults.schedule == "cosine"
+    assert _auto_defaults(prob, None) == (0, 0)
+
+
 @pytest.mark.parametrize("schedule", ["cosine", "exponential"])
 def test_lr_schedules(key, schedule):
     cfg = TrainConfig(iterations=200, batch_size=16, lrate=1e-3,

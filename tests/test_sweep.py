@@ -221,6 +221,28 @@ def test_sweep_evaluator_matches_standalone_run(key):
     assert not np.allclose(losses_b[-1], losses_a[-1])
 
 
+def test_sweep_evaluator_cosine_runtime_horizon(key):
+    """Decay schedules in the sweep evaluator follow each trial's OWN
+    n_iters: the kernel reads the horizon from the runtime n_steps SMEM
+    scalar, so a 30-step trial reproduces a standalone 30-step cosine run
+    exactly (same stream, same full decay curve) even though the
+    executable was compiled for a larger max_iters."""
+    from differential_equations_dnn_tpu.kernels import fused_engine
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    ev = fused_engine.make_sweep_evaluator(prob, key, max_iters=48,
+                                           max_batch=16, model=model,
+                                           schedule="cosine")
+    losses_b, flat_b = ev(0, 3e-3, 16, 30)
+    ev_lr = fused_engine.make_lr_evaluator(prob, key, 30, batch_size=16,
+                                           model=model, schedule="cosine")
+    losses_ref, flat_ref = ev_lr(0, 3e-3)
+    np.testing.assert_allclose(losses_b, losses_ref, rtol=1e-6)
+    for a, b in zip(flat_b, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_batch_size_effect_tiny(key):
     res = batch_size_effect(key=key, batch_sizes=[4, 16], runs=2,
                             iterations=60, chunk_size=60)

@@ -409,15 +409,26 @@ def _cmd_sweep(args):
             )
 
             # The full reference space rides the runtime-masked MLP
-            # evaluator; the DGM engine is lr-only — fall back with a note.
-            if (fused_engine.spec_for(problem) is not None
-                    and not fused_dgm.supports(
-                        problem, None, problem.defaults.batch_size)):
+            # evaluator; the DGM engine sweeps {lrate, n_iters} (its
+            # stream layouts are packed per batch_size, so the batch
+            # width stays compile-time).
+            if fused_dgm.supports(problem, None,
+                                  problem.defaults.batch_size):
+                from differential_equations_dnn_tpu.sweep.search import (
+                    SearchSpace,
+                    loguniform,
+                    randint,
+                )
+
+                space = SearchSpace({
+                    "n_iters": randint(1000, 50_000),
+                    "lrate": loguniform(1e-4, 1e-1),
+                })
+                print(f"[{args.equation}] DGM fused engine: sweeping "
+                      f"lrate and n_iters (batch width is compile-time; "
+                      f"use --scheduler tpe for batch_size too)")
+            elif fused_engine.spec_for(problem) is not None:
                 space = heat_search_space()
-            else:
-                print(f"[{args.equation}] DGM fused engine is lr-only; "
-                      f"sweeping the learning rate (use --scheduler tpe "
-                      f"for the full space)")
         result = tpe_search_fused(
             problem, key, num_samples=args.num_samples,
             max_iters=args.max_iters, seed=args.seed, space=space,

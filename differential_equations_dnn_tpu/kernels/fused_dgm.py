@@ -449,10 +449,15 @@ def supports(problem, model=None, batch_size=None) -> bool:
 def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
                     const=None, steps_per_cell: int | None = None,
                     precision=_HIGH, schedule="constant", total_steps=1,
-                    decay=0.1):
+                    decay=0.1, runtime_steps=None):
     """Run ``K = uniforms.shape[0]`` Adam steps of a DGM equation inside one
     Pallas kernel (shared scaffolding: kernels.engine_core; quadrature
-    constants ride the const operand)."""
+    constants ride the const operand). ``runtime_steps`` (traced int
+    scalar) switches on step-gating-only sweep mode: steps at or past the
+    trial's own budget freeze params/moments/history in place — the DGM
+    engine's batch width stays compile-time (the Fredholm spec's
+    quadrature node groups are packed per batch_size), so only n_iters is
+    a runtime hyperparameter here."""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_chunk,
     )
@@ -475,7 +480,8 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
               (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
                            lrate, S, const=const, schedule=schedule,
-                           total_steps=total_steps, decay=decay)
+                           total_steps=total_steps, decay=decay,
+                           runtime_steps=runtime_steps)
 
 
 class spec_with_build:
@@ -561,6 +567,79 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
                                    np.float32(lrate if lr is None else lr))
         return np.asarray(losses), p
+
+    return eval_fn
+
+
+def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
+                         model=None, steps_per_cell: int | None = None,
+                         precision: str = "highest",
+                         schedule: str | None = None, decay: float = 0.1):
+    """Compile ONE fused DGM executable covering a {lrate, n_iters} search
+    space and return ``eval_fn(trial_index, lrate, n_iters) ->
+    (losses [n_iters], flat_params)``.
+
+    The DGM-engine counterpart of fused_engine.make_sweep_evaluator,
+    minus runtime batch masking: the DGM specs' stream layouts are packed
+    per batch_size (Fredholm's quadrature node groups especially), so the
+    batch width stays compile-time and only lr (SMEM scalar) and n_iters
+    (``pl.when`` step gate — steps past the trial's own budget freeze
+    params/moments/history) are runtime. Decay schedules follow each
+    trial's OWN n_iters horizon, matching a standalone run of that
+    budget."""
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase (the mixed "
+                         "schedule's phase split is compile-time, the "
+                         "trial budget is runtime); use 'highest' or "
+                         "'default'")
+
+    # Pad the compiled horizon to a multiple of 1000 (a prime/odd
+    # max_iters would force S=1 steps per grid cell); trials clamp to the
+    # caller's max_iters and the step gate masks the padding steps.
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = cached_split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+
+    def run(flat, m, v, u, lr, n_steps):
+        return fused_dgm_chunk(
+            spec, model, flat, m, v, u, 0, lrate=lr, const=const,
+            steps_per_cell=steps_per_cell,
+            precision=_PRECISIONS[precision], schedule=schedule,
+            total_steps=max_iters, decay=decay, runtime_steps=n_steps)
+
+    jinit = cached_compile(jax.jit(model.init),
+                           jax.random.fold_in(init_key, 0), label="init")
+    flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
+    zeros = tuple(jnp.zeros_like(p) for p in flat0)
+    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros, uniforms,
+                              np.float32(0.0), np.int32(max_iters),
+                              label=f"dgmsw-{problem.name}")
+
+    def eval_fn(trial_index: int, lrate: float, n_iters: int):
+        n_iters = max(1, min(int(n_iters), user_max))
+        flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
+        p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                   np.float32(lrate), np.int32(n_iters))
+        return np.asarray(losses)[:n_iters], p
 
     return eval_fn
 

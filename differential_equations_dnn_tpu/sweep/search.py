@@ -356,9 +356,10 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     (the vmapped ``tpe_search`` gets feedback only between rounds).
 
     lr-only spaces route through the leaner fixed-shape evaluator
-    (make_lr_evaluator / the DGM engine's make_trial_evaluator); the DGM
-    engine itself is lr-only (its equations' batch caps are tiny — use
-    the population TPE for their full spaces).
+    (make_lr_evaluator / the DGM engine's make_trial_evaluator). The DGM
+    engine sweeps {lrate, n_iters} (its stream layouts are packed per
+    batch_size, so the batch width stays compile-time); spaces including
+    batch_size on a DGM-spec'd problem need the population TPE.
 
     ``schedule`` sets the per-trial lr schedule ("constant" default —
     the reference's fixed-lr Optuna protocol; "cosine"/"exponential"
@@ -397,12 +398,29 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         resolve = lambda c: {"lrate": float(c["lrate"]), "n_iters": budget,
                              "batch_size": bs}
         unpack_params = fused_engine.unpack_params
-    else:
-        if fused_dgm.supports(problem, model, bs):
+    elif fused_dgm.supports(problem, model, bs):
+        if "batch_size" in names:
             raise ValueError(
-                "the fused DGM engine sweeps the learning rate only; use "
-                "an lr-only space, or scheduler='tpe' (vmapped population) "
-                "for the full space")
+                "the fused DGM engine sweeps lrate/n_iters only (its "
+                "stream layouts are packed per batch_size); drop "
+                "batch_size from the space, or use scheduler='tpe' "
+                "(vmapped population) for the full space")
+        nspec = space.specs.get("n_iters")
+        budget = int(max_iters if max_iters is not None
+                     else (nspec.high - 1 if isinstance(nspec, randint)
+                           else problem.defaults.iterations))
+        _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
+                                             batch_size=bs, model=model,
+                                             schedule=schedule)
+
+        def resolve(c):
+            return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
+                    "batch_size": bs,
+                    "n_iters": min(int(c.get("n_iters", budget)), budget)}
+
+        eval_fn = lambda t, c: _ev(t, c["lrate"], c["n_iters"])
+        unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
+    else:
         max_bs = _clamp_batch_cap(problem, max_batch_size)
         nspec = space.specs.get("n_iters")
         budget = int(max_iters if max_iters is not None

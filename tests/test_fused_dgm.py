@@ -216,6 +216,36 @@ def test_trial_evaluator_mixed_matches_fp32_on_cpu(key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_dgm_sweep_evaluator_matches_trial_evaluator(key):
+    """The DGM {lrate, n_iters} sweep evaluator's step-gating-only runtime
+    mode must reproduce the fixed-shape trial evaluator: a full-budget
+    trial matches exactly, and a short trial equals a standalone run of
+    its own budget (same stream prefix, same decay horizon)."""
+    prob = PROBLEMS["fitzhugh_nagumo"]()
+    model = DGM(input_dim=1, output_dim=2, hidden_size=16, num_layers=1,
+                activation="tanh")
+    ev = fd.make_sweep_evaluator(prob, key, max_iters=30, batch_size=8,
+                                 model=model, schedule="cosine")
+    losses, flat = ev(0, 1e-3, 30)
+    assert losses.shape == (30,)
+    ev_t = fd.make_trial_evaluator(prob, key, 30, batch_size=8,
+                                   model=model, schedule="cosine")
+    losses_ref, flat_ref = ev_t(0, 1e-3)
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-6)
+    for a, b in zip(flat, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # A 12-step trial sees the full cosine curve over ITS horizon (runtime
+    # n_steps scalar), i.e. exactly a standalone 12-iteration cosine run.
+    losses_s, flat_s = ev(0, 1e-3, 12)
+    assert losses_s.shape == (12,)
+    ev_12 = fd.make_trial_evaluator(prob, key, 12, batch_size=8,
+                                    model=model, schedule="cosine")
+    losses_12, flat_12 = ev_12(0, 1e-3)
+    np.testing.assert_allclose(losses_s, losses_12, rtol=1e-6)
+    for a, b in zip(flat_s, flat_12):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_dgm_ensemble_sharded_matches_single_device(key):
     """DGM replicas sharded over a 'pop' mesh via shard_map must produce
     bit-identical results to the sequential single-device path."""

@@ -172,6 +172,34 @@ def test_tpe_search_fused_dgm_route(key):
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
 
+def test_tpe_search_fused_dgm_n_iters_space(key):
+    """DGM-spec'd equations sweep {lrate, n_iters} through ONE executable
+    (step-gating-only runtime mode; the batch width stays compile-time
+    because the DGM stream layouts are packed per batch_size). Spaces
+    including batch_size still raise with a pointer to the population
+    TPE."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "n_iters": randint(10, 31)})
+    prob = Fredholm2(k=10, quadrature="gauss")
+    result = tpe_search_fused(prob, key, num_samples=3, space=space,
+                              batch_size=8)
+    assert len(result.configs) == 3
+    assert {"lrate", "n_iters"} <= set(result.configs[0])
+    assert all(c["batch_size"] == 8 for c in result.configs)
+    assert np.isfinite(result.best_score)
+    best = result.best_params()
+    single = {k2: jax.tree.map(lambda a: a[0], v) for k2, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+    bad = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                       "batch_size": randint(2, 9)})
+    with pytest.raises(ValueError, match="batch_size"):
+        tpe_search_fused(prob, key, num_samples=2, space=bad, batch_size=8)
+
+
 def test_tpe_search_fused_full_space(key):
     """The FULL reference search space {batch_size, n_iters, lrate}
     (optimize_heat_ray.py:173-176) through ONE fused executable: batch

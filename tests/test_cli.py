@@ -132,15 +132,26 @@ def test_restore_overrides_mismatched_seed(tmp_path, capsys):
 
 
 def test_fredholm_parity_flag(tmp_path):
-    """--parity forces the reference-exact Monte-Carlo k=50 configuration;
-    the default is now Gauss-Legendre (VERDICT round 1, inverted defaults)."""
+    """--parity forces the FULL reference-exact protocol: Monte-Carlo k=50
+    quadrature AND lr 1e-4 + constant schedule (fredholm.py:142-144); the
+    default is Gauss-Legendre + the tuned lr 3e-3 cosine."""
     rd = str(tmp_path / "temp_results")
     main(["fredholm", "--solve", "--niters", "30", "--batch-size", "8",
           "--nnodes", "10", "--parity", "--results-dir", rd])
     assert (Path(rd) / "fredholm_approx.npy").exists()
+    manifest = json.loads((Path(rd) / "fredholm_run.json").read_text())
+    assert manifest["params"]["lrate"] == pytest.approx(1e-4)
     parser = build_parser()
     args = parser.parse_args(["fredholm", "--solve"])
     assert args.quadrature == "gauss"
+    assert args.lrate == pytest.approx(3e-3)
+    # A user-set --lrate survives --parity (only the default is swapped).
+    rd2 = str(tmp_path / "temp_results2")
+    main(["fredholm", "--solve", "--niters", "30", "--batch-size", "8",
+          "--nnodes", "10", "--parity", "--lrate", "5e-3",
+          "--results-dir", rd2])
+    manifest2 = json.loads((Path(rd2) / "fredholm_run.json").read_text())
+    assert manifest2["params"]["lrate"] == pytest.approx(5e-3)
 
 
 def test_sweep_grid_equation_default_cap(tmp_path):

@@ -163,7 +163,7 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
           nodes: int | None = None, seed: int = 0, model=None, mesh=None,
           ensemble: int | None = None, finetune: int | None = None,
           engine: str = "scan", precision: str = "highest",
-          verbose: bool = False,
+          schedule: str | None = None, verbose: bool = False,
           **problem_kwargs) -> SolveResult:
     """Train a network on ``equation`` and validate against its ground truth.
 
@@ -204,6 +204,9 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     (bf16 coarse phase + exact-fp32 final phase chained in ONE dispatch —
     ~1.4x the fp32 throughput at equal-or-better MAE; measured 91-95k it/s,
     MAE 0.0003 vs 63-66k / 0.0007 on the same chip).
+
+    ``schedule`` ("constant" | "cosine" | "exponential") overrides the
+    equation's default lr schedule (``problem.defaults.schedule``).
     """
     if isinstance(equation, str):
         try:
@@ -220,7 +223,12 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
         iterations=iterations if iterations is not None else d.iterations,
         batch_size=batch_size if batch_size is not None else d.batch_size,
         lrate=lrate if lrate is not None else d.lrate,
-        schedule=getattr(d, "schedule", "constant"),
+        # ``schedule`` overrides the equation's deployment default — e.g.
+        # reproducing fredholm's reference protocol needs
+        # solve("fredholm", quadrature="montecarlo", lrate=1e-4,
+        # schedule="constant") now that its tuned default is cosine.
+        schedule=(schedule if schedule is not None
+                  else getattr(d, "schedule", "constant")),
         verbose=verbose,
     )
     nodes = nodes if nodes is not None else d.nodes
@@ -367,6 +375,12 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
                 raise ValueError("engine='fused' is single-chip")
             common = dict(batch_size=config.batch_size, lrate=config.lrate,
                           model=model, precision=precision)
+            if route == "heat" and config.schedule != "constant":
+                # The specialised heat kernel is constant-lr only; a
+                # requested decay schedule runs on the generic spec engine
+                # (same heat spec, in-kernel schedules) instead of being
+                # silently ignored.
+                route = "engine"
             if route == "heat":
                 from differential_equations_dnn_tpu.kernels.fused_train import (
                     train_heat_fused_result,

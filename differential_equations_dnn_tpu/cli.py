@@ -66,8 +66,20 @@ def _add_common_flags(p: argparse.ArgumentParser, defaults):
     p.add_argument("--niters", type=int, default=defaults.iterations)
     p.add_argument("--nnodes", type=int, default=defaults.nodes)
     p.add_argument("--batch-size", type=int, default=defaults.batch_size)
-    p.add_argument("--lrate", type=float, default=defaults.lrate)
+    # default None = sentinel for "not set on the command line": the
+    # effective default (problem.defaults.lrate, possibly remapped by
+    # --parity) resolves in _cmd_equation AFTER the problem is built —
+    # comparing against the parser default by value cannot distinguish an
+    # explicit --lrate equal to it.
+    p.add_argument("--lrate", type=float, default=None,
+                   help=f"default: {defaults.lrate}")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--schedule",
+                   choices=["constant", "cosine", "exponential"],
+                   default=None,
+                   help=f"lr schedule (default: the equation's own, "
+                        f"{defaults.schedule}; --parity on fredholm "
+                        f"forces constant)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="save trained params/opt_state to this directory")
     p.add_argument("--restore", type=str, default=None,
@@ -99,7 +111,9 @@ def _solve(problem, args):
     if getattr(args, "ensemble", 0) and args.ensemble > 1:
         return _solve_ensemble(problem, args)
     config = TrainConfig(iterations=args.niters, batch_size=args.batch_size,
-                         lrate=args.lrate, schedule=problem.defaults.schedule)
+                         lrate=args.lrate,
+                         schedule=(getattr(args, "schedule", None)
+                                   or problem.defaults.schedule))
     mesh = None
     if args.mesh:
         from differential_equations_dnn_tpu.parallel import make_mesh
@@ -148,6 +162,10 @@ def _solve(problem, args):
                       model=model, params=params, opt_state=opt_state,
                       start_step=start_step,
                       precision=getattr(args, "precision", "highest"))
+        if route == "heat" and config.schedule != "constant":
+            # The specialised heat kernel is constant-lr only; a requested
+            # decay schedule runs on the generic spec engine instead.
+            route = "engine"
         if route == "heat":
             from differential_equations_dnn_tpu.kernels.fused_train import (
                 train_heat_fused_result as _fused,
@@ -245,7 +263,8 @@ def _solve_ensemble(problem, args):
                     nodes=args.nnodes, seed=args.seed, ensemble=args.ensemble,
                     finetune=getattr(args, "finetune", 0),
                     engine=getattr(args, "engine", "scan"),
-                    precision=getattr(args, "precision", "highest"))
+                    precision=getattr(args, "precision", "highest"),
+                    schedule=getattr(args, "schedule", None))
     sol_name, loss_name, exact_name, _ = ARTIFACTS[problem.name]
     save_array(sol_name, res.solution, directory=args.results_dir)
     save_array(loss_name, res.loss_history, directory=args.results_dir)
@@ -326,8 +345,6 @@ def _cmd_equation(name, args):
         if parity:
             from dataclasses import replace
 
-            if args.lrate == problem.defaults.lrate:
-                args.lrate = 1e-4
             problem = replace(problem, defaults=replace(
                 problem.defaults, lrate=1e-4, schedule="constant"))
     elif name == "volterra":
@@ -338,6 +355,10 @@ def _cmd_equation(name, args):
         problem = problem_cls(taps=args.taps, **extra)
     else:
         problem = problem_cls(**extra)
+    if args.lrate is None:
+        # Resolve the sentinel against the FINAL problem (after --parity's
+        # defaults remap); an explicit --lrate always survives.
+        args.lrate = problem.defaults.lrate
     # Robust defaults (mirrors api._auto_defaults): the FitzHugh-Nagumo DGM
     # arch with causal weighting OFF gets ensemble 16 + top-3 L-BFGS
     # post-polish selection (beats the reference on every seed: MAE
@@ -420,13 +441,19 @@ def _cmd_sweep(args):
                     randint,
                 )
 
+                # Derive the budget range from the equation's OWN protocol
+                # (the reference's 1000..50000 is heat-specific — it would
+                # exclude FN's known-good 150k and compile fredholm's
+                # executable at 16x its 3k budget).
+                it = args.max_iters or problem.defaults.iterations
                 space = SearchSpace({
-                    "n_iters": randint(1000, 50_000),
+                    "n_iters": randint(max(100, it // 10), it + 1),
                     "lrate": loguniform(1e-4, 1e-1),
                 })
                 print(f"[{args.equation}] DGM fused engine: sweeping "
-                      f"lrate and n_iters (batch width is compile-time; "
-                      f"use --scheduler tpe for batch_size too)")
+                      f"lrate and n_iters in [{max(100, it // 10)}, {it}] "
+                      f"(batch width is compile-time; use --scheduler tpe "
+                      f"for batch_size too)")
             elif fused_engine.spec_for(problem) is not None:
                 space = heat_search_space()
         result = tpe_search_fused(
@@ -581,11 +608,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused-spec equations only)")
     p.add_argument("--lr-schedule",
                    choices=["constant", "cosine", "exponential"],
-                   default="constant",
+                   default=None,
                    help="per-trial lr schedule for tpe-fused trials; decay "
                         "schedules follow each trial's OWN n_iters budget "
-                        "(runtime horizon in-kernel). constant mirrors the "
-                        "reference's fixed-lr Optuna trials")
+                        "(runtime horizon in-kernel). Default: lr-only "
+                        "sweeps inherit the equation's deployment "
+                        "schedule, full spaces use constant (the "
+                        "reference's fixed-lr Optuna protocol)")
     p.add_argument("--space", choices=["full", "lr"], default="full",
                    help="tpe-fused search space: full = the reference's "
                         "batch_size/n_iters/lrate "

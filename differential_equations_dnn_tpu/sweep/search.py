@@ -341,7 +341,7 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                      batch_size: int | None = None,
                      max_batch_size: int = 512,
                      gamma: float = 0.25,
-                     schedule: str = "constant") -> SweepResult:
+                     schedule: str | None = None) -> SweepResult:
     """TPE with every proposal trained inside the fused Pallas kernel
     through ONE compiled executable.
 
@@ -361,10 +361,13 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     batch_size, so the batch width stays compile-time); spaces including
     batch_size on a DGM-spec'd problem need the population TPE.
 
-    ``schedule`` sets the per-trial lr schedule ("constant" default —
-    the reference's fixed-lr Optuna protocol; "cosine"/"exponential"
-    decay over each trial's own n_iters via the runtime in-kernel
-    horizon)."""
+    ``schedule`` sets the per-trial lr schedule. ``None`` (default): lr-
+    only sweeps inherit the equation's deployment schedule
+    (``problem.defaults.schedule`` — a selected lr transfers to solve());
+    spaces with a per-trial n_iters default to "constant", the
+    reference's fixed-lr Optuna protocol. Pass "cosine"/"exponential"
+    explicitly to decay over each trial's own n_iters via the runtime
+    in-kernel horizon."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
@@ -377,10 +380,14 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     bs = int(batch_size if batch_size is not None
              else problem.defaults.batch_size)
     lr_only = names == {"lrate"}
+    nspec = space.specs.get("n_iters")
+    budget = int(max_iters if max_iters is not None
+                 else (nspec.high - 1 if isinstance(nspec, randint)
+                       else problem.defaults.iterations))
+    if not lr_only and schedule is None:
+        schedule = "constant"
 
     if lr_only and fused_dgm.supports(problem, model, bs):
-        budget = int(max_iters if max_iters is not None
-                     else problem.defaults.iterations)
         _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
                                              batch_size=bs, model=model,
                                              schedule=schedule)
@@ -389,8 +396,6 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                              "batch_size": bs}
         unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
     elif lr_only:
-        budget = int(max_iters if max_iters is not None
-                     else problem.defaults.iterations)
         _ev = fused_engine.make_lr_evaluator(problem, key, budget,
                                              batch_size=bs, model=model,
                                              schedule=schedule)
@@ -405,10 +410,6 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                 "stream layouts are packed per batch_size); drop "
                 "batch_size from the space, or use scheduler='tpe' "
                 "(vmapped population) for the full space")
-        nspec = space.specs.get("n_iters")
-        budget = int(max_iters if max_iters is not None
-                     else (nspec.high - 1 if isinstance(nspec, randint)
-                           else problem.defaults.iterations))
         _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
                                              batch_size=bs, model=model,
                                              schedule=schedule)
@@ -422,10 +423,6 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
     else:
         max_bs = _clamp_batch_cap(problem, max_batch_size)
-        nspec = space.specs.get("n_iters")
-        budget = int(max_iters if max_iters is not None
-                     else (nspec.high - 1 if isinstance(nspec, randint)
-                           else problem.defaults.iterations))
         bspec = space.specs.get("batch_size")
         if isinstance(bspec, randint):
             max_bs = min(max_bs, bspec.high - 1)

@@ -95,6 +95,27 @@ def test_solve_fused_engine():
     assert np.isfinite(res.mae)
 
 
+def test_solve_schedule_override():
+    """solve(schedule=...) overrides the equation's deployment schedule —
+    the API route to the reference fredholm protocol (constant lr) now
+    that the tuned default is cosine. On fused heat a decay schedule
+    reroutes from the constant-only specialised kernel to the generic
+    spec engine instead of being silently ignored."""
+    from differential_equations_dnn_tpu.api import solve
+
+    res_c = solve("fredholm", iterations=60, batch_size=8, nodes=5, k=8,
+                  schedule="constant", finetune=0)
+    res_d = solve("fredholm", iterations=60, batch_size=8, nodes=5, k=8,
+                  finetune=0)  # deployment default: cosine
+    assert np.isfinite(res_c.mae) and np.isfinite(res_d.mae)
+    assert not np.allclose(res_c.loss_history, res_d.loss_history)
+
+    res_f = solve("heat", engine="fused", iterations=300, batch_size=16,
+                  lrate=1e-3, nodes=8, schedule="cosine")
+    assert res_f.loss_history.shape == (300,)
+    assert np.isfinite(res_f.mae)
+
+
 def test_solve_fused_dgm_engine():
     """The DGM equations route engine='fused' to kernels.fused_dgm (and the
     FN auto-ensemble default must not bump them off the kernel path)."""

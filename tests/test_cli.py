@@ -144,14 +144,16 @@ def test_fredholm_parity_flag(tmp_path):
     parser = build_parser()
     args = parser.parse_args(["fredholm", "--solve"])
     assert args.quadrature == "gauss"
-    assert args.lrate == pytest.approx(3e-3)
-    # A user-set --lrate survives --parity (only the default is swapped).
+    assert args.lrate is None  # sentinel: resolved after --parity remap
+    # A user-set --lrate survives --parity (only the default is swapped) —
+    # including the tricky case where it EQUALS the tuned default 3e-3,
+    # which a compare-by-value check could not distinguish.
     rd2 = str(tmp_path / "temp_results2")
     main(["fredholm", "--solve", "--niters", "30", "--batch-size", "8",
-          "--nnodes", "10", "--parity", "--lrate", "5e-3",
+          "--nnodes", "10", "--parity", "--lrate", "3e-3",
           "--results-dir", rd2])
     manifest2 = json.loads((Path(rd2) / "fredholm_run.json").read_text())
-    assert manifest2["params"]["lrate"] == pytest.approx(5e-3)
+    assert manifest2["params"]["lrate"] == pytest.approx(3e-3)
 
 
 def test_sweep_grid_equation_default_cap(tmp_path):

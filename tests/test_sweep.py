@@ -172,6 +172,31 @@ def test_tpe_search_fused_dgm_route(key):
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
 
+def test_tpe_search_fused_lr_only_inherits_deployment_schedule(key):
+    """lr-only tpe-fused trials train with the equation's OWN deployment
+    schedule (problem.defaults.schedule), so the selected lr transfers to
+    solve(); passing schedule= overrides. Regression: an explicit
+    "constant" default here once silently flipped every cosine-default
+    equation's sweep to constant-lr trials."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.kernels import fused_dgm
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = Fredholm2(k=10, quadrature="gauss")
+    assert prob.defaults.schedule == "cosine"
+    res = tpe_search_fused(prob, key, num_samples=1, max_iters=12,
+                           batch_size=8, seed=3)
+    lr = res.configs[0]["lrate"]
+    ev_cos = fused_dgm.make_trial_evaluator(prob, key, 12, batch_size=8,
+                                            schedule="cosine")
+    losses_cos, _ = ev_cos(0, lr)
+    assert res.scores[0] == pytest.approx(float(losses_cos[-1]), rel=1e-6)
+    ev_const = fused_dgm.make_trial_evaluator(prob, key, 12, batch_size=8,
+                                              schedule="constant")
+    losses_const, _ = ev_const(0, lr)
+    assert not np.isclose(res.scores[0], float(losses_const[-1]))
+
+
 def test_tpe_search_fused_dgm_n_iters_space(key):
     """DGM-spec'd equations sweep {lrate, n_iters} through ONE executable
     (step-gating-only runtime mode; the batch width stays compile-time

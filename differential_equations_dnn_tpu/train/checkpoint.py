@@ -12,7 +12,15 @@ from pathlib import Path
 import numpy as np
 
 import jax
-import orbax.checkpoint as ocp
+
+
+def _ocp():
+    # Lazy: `import orbax.checkpoint` drags in google.cloud.logging —
+    # ~4.1 s, half the package's import time — and most processes
+    # (solve/bench/sweep without --checkpoint) never touch a checkpoint.
+    import orbax.checkpoint as ocp
+
+    return ocp
 
 
 def checkpoint_like(problem, config, model=None, seed: int = 0,
@@ -49,7 +57,7 @@ def checkpoint_like(problem, config, model=None, seed: int = 0,
 def save_checkpoint(path: str | Path, tree, *, force: bool = True):
     """Save a pytree (e.g. ``{"params": ..., "opt_state": ..., "step": ...}``)."""
     path = Path(path).absolute()
-    with ocp.StandardCheckpointer() as ckptr:
+    with _ocp().StandardCheckpointer() as ckptr:
         ckptr.save(path, tree, force=force)
     return path
 
@@ -59,7 +67,7 @@ def restore_checkpoint(path: str | Path, like=None):
     structure, e.g. from ``jax.eval_shape``) restores with correct dtypes and
     shardings; without it, arrays come back as numpy."""
     path = Path(path).absolute()
-    with ocp.StandardCheckpointer() as ckptr:
+    with _ocp().StandardCheckpointer() as ckptr:
         if like is not None:
             return ckptr.restore(path, like)
         return ckptr.restore(path)

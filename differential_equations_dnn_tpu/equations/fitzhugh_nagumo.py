@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import jax.numpy as jnp
-from scipy.integrate import odeint
+# scipy is imported lazily in exact(): ~0.8 s of import time that only the
+# FN ground-truth evaluation needs.
 
 from differential_equations_dnn_tpu.equations.base import Problem, TrainDefaults
 from differential_equations_dnn_tpu.models import DGM
@@ -179,6 +180,8 @@ class FitzHughNagumo(Problem):
         return (nodes, 2)
 
     def exact(self, nodes):
+        from scipy.integrate import odeint
+
         t = np.linspace(0.0, self.t_max, nodes)
         args = (self.i_ext, self.alpha, self.beta, self.tau)
         return odeint(fzn_rhs, [self.y_ic, self.y_ic], t, args=args)

@@ -238,6 +238,10 @@ def _solve(problem, args):
     parameters_summary(
         {"equation": problem.name, "iterations": args.niters,
          "batch_size": args.batch_size, "lrate": args.lrate,
+         "schedule": (getattr(args, "schedule", None)
+                      or problem.defaults.schedule),
+         "engine": getattr(args, "engine", "scan"),
+         "precision": getattr(args, "precision", "highest"),
          "nnodes": args.nnodes, "seed": args.seed,
          "iters_per_sec": round(result.iters_per_sec, 1),
          "wall_time_s": round(result.wall_time, 3),

@@ -81,8 +81,9 @@ def main(full: bool = False):
         if not ok:
             failures.append(f"fn_causal_single_run_seed{seed}")
 
-    # Hard-constraint fused specs: interior-only streams, exact IC/BC.
-    for name in ("heat", "wave", "poisson"):
+    # Hard-constraint fused specs: interior-only streams, exact IC/BC
+    # (all five HARD_SPECS equations).
+    for name in ("simple_ode", "heat", "heat2d", "wave", "poisson"):
         res = solve(name, constraint="hard", engine="fused",
                     iterations=5000, seed=42, finetune=0)
         ok = res.mae < 0.05

@@ -388,6 +388,7 @@ def _cmd_equation(name, args):
 
 def _cmd_sweep(args):
     from differential_equations_dnn_tpu.sweep import (
+        halving_search_fused,
         random_search,
         successive_halving,
         tpe_halving,
@@ -407,6 +408,14 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             mesh=mesh,
+        )
+    elif args.scheduler == "asha-fused":
+        if args.mesh:
+            raise SystemExit("--scheduler asha-fused is single-chip")
+        result = halving_search_fused(
+            problem, key, num_samples=args.num_samples,
+            max_budget=args.max_iters, max_batch_size=args.max_batch_size,
+            seed=args.seed, schedule=args.lr_schedule,
         )
     elif args.scheduler == "tpe":
         result = tpe_search(
@@ -599,7 +608,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=512)
     p.add_argument("--scheduler",
-                   choices=["random", "asha", "tpe", "tpe-asha", "tpe-fused"],
+                   choices=["random", "asha", "tpe", "tpe-asha", "tpe-fused",
+                            "asha-fused"],
                    default="random",
                    help="random = pure sampling; asha = successive halving; "
                         "tpe = adaptive model-based (the reference's "
@@ -609,7 +619,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "trial trained to its own budget inside the fused "
                         "Pallas kernel (one compile for the whole space — "
                         "lr, batch_size and n_iters are runtime scalars; "
-                        "fused-spec equations only)")
+                        "fused-spec equations only); asha-fused = "
+                        "successive halving with every rung priced at its "
+                        "own budget inside the fused kernel (restart == "
+                        "promotion via shared-stream determinism)")
     p.add_argument("--lr-schedule",
                    choices=["constant", "cosine", "exponential"],
                    default=None,

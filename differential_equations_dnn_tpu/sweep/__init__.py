@@ -18,6 +18,7 @@ from differential_equations_dnn_tpu.sweep.search import (
     heat_search_space,
     random_search,
     successive_halving,
+    halving_search_fused,
     tpe_halving,
     tpe_search,
     tpe_search_fused,
@@ -38,6 +39,7 @@ __all__ = [
     "heat_search_space",
     "random_search",
     "successive_halving",
+    "halving_search_fused",
     "tpe_halving",
     "tpe_search",
     "tpe_search_fused",

@@ -478,6 +478,116 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                        param_indices=np.array([best_idx]))
 
 
+def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
+                         space: SearchSpace | None = None, model=None,
+                         eta: int = 3, min_budget: int = 500,
+                         max_budget: int | None = None,
+                         batch_size: int | None = None,
+                         max_batch_size: int = 512,
+                         schedule: str | None = None) -> SweepResult:
+    """Successive halving (the ASHA role) with every rung evaluation inside
+    ONE compiled fused Pallas kernel.
+
+    The runtime n_iters step gate prices each rung at its own budget (a
+    min_budget rung costs ~min_budget/max_budget of a full trial), and
+    shared-stream determinism makes restart == promotion: a survivor
+    re-evaluated at eta× the budget trains over exactly the prefix it ran
+    at the lower rung (same init fold, same collocation stream), so
+    halving-with-restarts reproduces ``successive_halving``'s
+    continue-the-survivor semantics without carrying optimizer state
+    between rungs. Total kernel work for the geometric rung schedule is
+    ≤ eta/(eta−1) × the continuation cost — at fused-kernel speed.
+
+    The space covers {lrate, batch_size} on the MLP engine or {lrate} on
+    the DGM engine (batch width is compile-time there); n_iters is OWNED
+    by the rung schedule, exactly as in ``successive_halving``.
+    ``schedule`` defaults to "constant" (the reference's fixed-lr
+    protocol); decay schedules follow each rung's own horizon."""
+    from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
+
+    model = model or problem.default_model()
+    bs = int(batch_size if batch_size is not None
+             else problem.defaults.batch_size)
+    max_budget = int(max_budget or problem.defaults.iterations)
+    min_budget = max(1, min(int(min_budget), max_budget))
+    schedule = schedule or "constant"
+
+    if fused_dgm.supports(problem, model, bs):
+        space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
+        if set(space.specs) != {"lrate"}:
+            raise ValueError(
+                "halving_search_fused on the DGM engine sweeps the lrate "
+                "only (batch width is compile-time; n_iters is owned by "
+                "the rung schedule)")
+        _ev = fused_dgm.make_sweep_evaluator(problem, key, max_budget,
+                                             batch_size=bs, model=model,
+                                             schedule=schedule)
+        eval_fn = lambda t, lr, b, n: _ev(t, lr, n)
+        max_bs = bs
+        unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
+    else:
+        space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1),
+                                      "batch_size": randint(1, 512)})
+        if not set(space.specs) <= {"lrate", "batch_size"}:
+            raise ValueError(
+                "halving_search_fused sweeps lrate/batch_size; n_iters is "
+                f"owned by the rung schedule (got {sorted(space.specs)})")
+        max_bs = _clamp_batch_cap(problem, max_batch_size)
+        bspec = space.specs.get("batch_size")
+        if isinstance(bspec, randint):
+            max_bs = min(max_bs, bspec.high - 1)
+        compile_bs = -(-max_bs // 64) * 64
+        eval_fn = fused_engine.make_sweep_evaluator(problem, key, max_budget,
+                                                    max_batch=compile_bs,
+                                                    model=model,
+                                                    schedule=schedule)
+        unpack = lambda stacked: fused_engine.unpack_params(model, stacked)
+
+    draws = space.sample(seed, num_samples)
+    lrates = np.asarray(
+        draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
+        np.float64)
+    batch_sizes = np.minimum(
+        np.asarray(draws.get("batch_size", np.full(num_samples, bs)),
+                   np.int64), max_bs)
+
+    alive = np.arange(num_samples)
+    budget = min_budget
+    last_scores = np.zeros(num_samples)
+    iters_done = np.zeros(num_samples, dtype=np.int64)
+    flats: dict[int, tuple] = {}
+    while True:
+        for t in alive:
+            losses, flat = eval_fn(int(t), float(lrates[t]),
+                                   int(batch_sizes[t]), int(budget))
+            last_scores[t] = float(losses[-1])
+            flats[int(t)] = flat
+        iters_done[alive] = budget
+        if budget >= max_budget or len(alive) <= 1:
+            break
+        keep = max(1, len(alive) // eta)
+        rung = last_scores[alive]
+        order = np.argsort(np.where(np.isfinite(rung), rung, np.inf))
+        alive = alive[order[:keep]]
+        budget = min(budget * eta, max_budget)
+        if len(alive) == 1:
+            # The lone survivor gets the whole remaining budget (a rung
+            # with nothing left to prune has no reason to stop short).
+            budget = max_budget
+
+    n_tensors = len(flats[int(alive[0])])
+    stacked = tuple(jnp.stack([flats[int(t)][k] for t in alive])
+                    for k in range(n_tensors))
+    params = unpack(stacked)
+    configs = [
+        {"batch_size": int(batch_sizes[i]), "lrate": float(lrates[i]),
+         "n_iters": int(iters_done[i])}
+        for i in range(num_samples)
+    ]
+    return SweepResult(configs=configs, scores=np.asarray(last_scores),
+                       losses=None, params=params, param_indices=alive)
+
+
 # ---- TPE × successive halving (the reference's full scheduler pairing) ------
 
 def tpe_halving(problem, key, num_samples: int = 27, space: SearchSpace | None = None,

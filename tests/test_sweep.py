@@ -246,6 +246,67 @@ def test_tpe_search_fused_full_space(key):
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
 
+def test_halving_search_fused_end_to_end(key):
+    """Fused successive halving: rungs priced at their own budget through
+    ONE executable; survivors' configs report the realised rung budgets;
+    restart == promotion (the winner's final score equals a direct
+    full-budget evaluation at its config — shared-stream determinism)."""
+    from differential_equations_dnn_tpu.kernels import fused_engine
+    from differential_equations_dnn_tpu.sweep import halving_search_fused
+
+    prob = SimpleODE()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16)})
+    result = halving_search_fused(prob, key, num_samples=4, space=space,
+                                  eta=2, min_budget=8, max_budget=32,
+                                  seed=5)
+    assert len(result.configs) == 4
+    budgets = sorted({c["n_iters"] for c in result.configs})
+    assert budgets[0] == 8 and budgets[-1] == 32  # rungs realised
+    assert np.isfinite(result.best_score)
+    assert result.configs[result.best_index]["n_iters"] == 32
+    best = result.best_params()
+    single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+    # Same key + same trial index → same init and stream: a direct eval
+    # of the winning config at the full budget reproduces its score.
+    cfg = result.best_config
+    ev = fused_engine.make_sweep_evaluator(
+        prob, key, 32, max_batch=-(-15 // 64) * 64 or 64,
+        model=prob.default_model(), schedule="constant")
+    losses, _ = ev(result.best_index, cfg["lrate"], cfg["batch_size"], 32)
+    assert float(losses[-1]) == pytest.approx(result.best_score, rel=1e-6)
+
+    with pytest.raises(ValueError, match="rung schedule"):
+        halving_search_fused(prob, key, num_samples=2,
+                             space=SearchSpace({"n_iters": randint(2, 9)}))
+
+
+def test_halving_search_fused_dgm_route(key):
+    """DGM-spec'd equations run fused halving lr-only (batch width is
+    compile-time); a space with batch_size raises."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.sweep import halving_search_fused
+
+    prob = Fredholm2(k=10, quadrature="gauss")
+    result = halving_search_fused(prob, key, num_samples=3, eta=2,
+                                  min_budget=6, max_budget=24,
+                                  batch_size=8, seed=2)
+    assert len(result.configs) == 3
+    assert np.isfinite(result.best_score)
+    assert result.configs[result.best_index]["n_iters"] == 24
+    best = result.best_params()
+    single = {k2: jax.tree.map(lambda a: a[0], v) for k2, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+    with pytest.raises(ValueError, match="lrate only"):
+        halving_search_fused(
+            prob, key, num_samples=2, batch_size=8,
+            space=SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                               "batch_size": randint(2, 9)}))
+
+
 def test_sweep_evaluator_matches_standalone_run(key):
     """A sweep-evaluator trial at (bs, n) < (max_batch, max_iters) must
     reproduce a standalone fused run over the same truncated/masked

@@ -390,6 +390,7 @@ def _cmd_sweep(args):
     from differential_equations_dnn_tpu.sweep import (
         halving_search_fused,
         random_search,
+        tpe_halving_fused,
         successive_halving,
         tpe_halving,
         tpe_search,
@@ -413,6 +414,14 @@ def _cmd_sweep(args):
         if args.mesh:
             raise SystemExit("--scheduler asha-fused is single-chip")
         result = halving_search_fused(
+            problem, key, num_samples=args.num_samples,
+            max_budget=args.max_iters, max_batch_size=args.max_batch_size,
+            seed=args.seed, schedule=args.lr_schedule,
+        )
+    elif args.scheduler == "tpe-asha-fused":
+        if args.mesh:
+            raise SystemExit("--scheduler tpe-asha-fused is single-chip")
+        result = tpe_halving_fused(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             seed=args.seed, schedule=args.lr_schedule,
@@ -609,7 +618,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch-size", type=int, default=512)
     p.add_argument("--scheduler",
                    choices=["random", "asha", "tpe", "tpe-asha", "tpe-fused",
-                            "asha-fused"],
+                            "asha-fused", "tpe-asha-fused"],
                    default="random",
                    help="random = pure sampling; asha = successive halving; "
                         "tpe = adaptive model-based (the reference's "
@@ -622,7 +631,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused-spec equations only); asha-fused = "
                         "successive halving with every rung priced at its "
                         "own budget inside the fused kernel (restart == "
-                        "promotion via shared-stream determinism)")
+                        "promotion via shared-stream determinism); "
+                        "tpe-asha-fused = the reference's full TPE+ASHA "
+                        "pairing on the fused tier (brackets of TPE "
+                        "proposals pruned by in-kernel rungs, ONE compile "
+                        "total)")
     p.add_argument("--lr-schedule",
                    choices=["constant", "cosine", "exponential"],
                    default=None,

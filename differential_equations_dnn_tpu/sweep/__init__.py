@@ -20,6 +20,7 @@ from differential_equations_dnn_tpu.sweep.search import (
     successive_halving,
     halving_search_fused,
     tpe_halving,
+    tpe_halving_fused,
     tpe_search,
     tpe_search_fused,
     SweepResult,
@@ -41,6 +42,7 @@ __all__ = [
     "successive_halving",
     "halving_search_fused",
     "tpe_halving",
+    "tpe_halving_fused",
     "tpe_search",
     "tpe_search_fused",
     "TPESampler",

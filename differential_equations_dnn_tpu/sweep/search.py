@@ -484,7 +484,9 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                          max_budget: int | None = None,
                          batch_size: int | None = None,
                          max_batch_size: int = 512,
-                         schedule: str | None = None) -> SweepResult:
+                         schedule: str | None = None,
+                         draws: dict | None = None,
+                         trial_offset: int = 0) -> SweepResult:
     """Successive halving (the ASHA role) with every rung evaluation inside
     ONE compiled fused Pallas kernel.
 
@@ -502,7 +504,12 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     the DGM engine (batch width is compile-time there); n_iters is OWNED
     by the rung schedule, exactly as in ``successive_halving``.
     ``schedule`` defaults to "constant" (the reference's fixed-lr
-    protocol); decay schedules follow each rung's own horizon."""
+    protocol); decay schedules follow each rung's own horizon.
+
+    ``draws`` (dict of [num_samples] config arrays) overrides the random
+    draws — how ``tpe_halving_fused`` injects model-proposed configs;
+    ``trial_offset`` shifts the init fold indices so successive brackets
+    get independent initialisations through the same executable."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
 
     model = model or problem.default_model()
@@ -543,7 +550,8 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                                                     schedule=schedule)
         unpack = lambda stacked: fused_engine.unpack_params(model, stacked)
 
-    draws = space.sample(seed, num_samples)
+    if draws is None:
+        draws = space.sample(seed, num_samples)
     lrates = np.asarray(
         draws.get("lrate", np.full(num_samples, problem.defaults.lrate)),
         np.float64)
@@ -558,7 +566,7 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     flats: dict[int, tuple] = {}
     while True:
         for t in alive:
-            losses, flat = eval_fn(int(t), float(lrates[t]),
+            losses, flat = eval_fn(int(t) + trial_offset, float(lrates[t]),
                                    int(batch_sizes[t]), int(budget))
             last_scores[t] = float(losses[-1])
             flats[int(t)] = flat
@@ -586,6 +594,78 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     ]
     return SweepResult(configs=configs, scores=np.asarray(last_scores),
                        losses=None, params=params, param_indices=alive)
+
+
+def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
+                      space: SearchSpace | None = None, model=None,
+                      eta: int = 3, min_budget: int = 500,
+                      max_budget: int | None = None,
+                      batch_size: int | None = None,
+                      max_batch_size: int = 512,
+                      schedule: str | None = None,
+                      brackets: int = 3, gamma: float = 0.1) -> SweepResult:
+    """The reference's full scheduler pairing (OptunaSearch + ASHA,
+    optimize_heat_ray.py:179-181) entirely on the fused tier: TPE proposes
+    each bracket's configs, ``halving_search_fused`` prunes them with
+    rungs priced in-kernel, and every bracket reuses the SAME compiled
+    executable (same key → same stream, ``trial_offset`` keys fresh
+    inits), so the whole BOHB-style search costs one compile total.
+
+    The sampler is told every trial's realised (config, score) — dropped
+    trials report their last rung score at their realised budget, exactly
+    like ``tpe_halving`` on the population tier."""
+    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
+
+    model = model or problem.default_model()
+    if space is None:
+        from differential_equations_dnn_tpu.kernels import fused_dgm
+
+        bs = int(batch_size if batch_size is not None
+                 else problem.defaults.batch_size)
+        if fused_dgm.supports(problem, model, bs):
+            space = SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
+        else:
+            space = SearchSpace({"lrate": loguniform(1e-4, 1e-1),
+                                 "batch_size": randint(1, 512)})
+
+    brackets = max(1, min(brackets, num_samples))
+    per_bracket = -(-num_samples // brackets)
+    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
+                         n_initial=per_bracket)
+
+    all_configs: list[dict] = []
+    all_scores: list[float] = []
+    best_params = None
+    best_flat_idx = -1
+    best_score = np.inf
+    for b in range(brackets):
+        proposals = sampler.ask(per_bracket)
+        draws = {name: np.asarray([c[name] for c in proposals])
+                 for name in space.specs}
+        res = halving_search_fused(
+            problem, key, num_samples=per_bracket, seed=seed + b,
+            space=space, model=model, eta=eta, min_budget=min_budget,
+            max_budget=max_budget, batch_size=batch_size,
+            max_batch_size=max_batch_size, schedule=schedule,
+            draws=draws, trial_offset=b * per_bracket,
+        )
+        # Scores carry each trial's realised budget in its config — the
+        # sampler learns from the (config, last-rung score) pairs.
+        sampler.tell(res.configs, res.scores)
+        finite = np.where(np.isfinite(res.scores), res.scores, np.inf)
+        eligible = np.full_like(finite, np.inf)
+        eligible[res.param_indices] = finite[res.param_indices]
+        b_best = int(np.argmin(eligible))
+        if eligible[b_best] < best_score:
+            best_score = float(eligible[b_best])
+            best_flat_idx = len(all_configs) + b_best
+            best_params = res.best_params()
+        all_configs.extend(res.configs)
+        all_scores.extend(float(s) for s in res.scores)
+
+    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
+                       losses=None, params=best_params,
+                       param_indices=np.array([best_flat_idx]))
 
 
 # ---- TPE × successive halving (the reference's full scheduler pairing) ------

@@ -283,6 +283,28 @@ def test_halving_search_fused_end_to_end(key):
                              space=SearchSpace({"n_iters": randint(2, 9)}))
 
 
+def test_tpe_halving_fused_brackets(key):
+    """BOHB on the fused tier: brackets of TPE proposals pruned by
+    in-kernel rungs, every bracket through the same executable with
+    offset init folds. Structural checks: all trials reported, rung
+    budgets realised per bracket, the winner fully trained."""
+    from differential_equations_dnn_tpu.sweep import tpe_halving_fused
+
+    prob = SimpleODE()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16)})
+    result = tpe_halving_fused(prob, key, num_samples=6, space=space,
+                               eta=2, min_budget=8, max_budget=32,
+                               brackets=2, seed=11)
+    assert len(result.configs) == 6
+    assert {c["n_iters"] for c in result.configs} <= {8, 16, 32}
+    assert np.isfinite(result.best_score)
+    assert result.configs[result.best_index]["n_iters"] == 32
+    best = result.best_params()
+    single = {k: jax.tree.map(lambda a: a[0], v) for k, v in best.items()}
+    assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
+
+
 def test_halving_search_fused_dgm_route(key):
     """DGM-spec'd equations run fused halving lr-only (batch width is
     compile-time); a space with batch_size raises."""

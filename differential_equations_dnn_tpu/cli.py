@@ -408,7 +408,7 @@ def _cmd_sweep(args):
         result = successive_halving(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
-            mesh=mesh,
+            eta=args.eta, min_budget=args.min_budget, mesh=mesh,
         )
     elif args.scheduler == "asha-fused":
         if args.mesh:
@@ -416,6 +416,7 @@ def _cmd_sweep(args):
         result = halving_search_fused(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
+            eta=args.eta, min_budget=args.min_budget,
             seed=args.seed, schedule=args.lr_schedule,
         )
     elif args.scheduler == "tpe-asha-fused":
@@ -424,7 +425,9 @@ def _cmd_sweep(args):
         result = tpe_halving_fused(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
-            seed=args.seed, schedule=args.lr_schedule,
+            eta=args.eta, min_budget=args.min_budget,
+            brackets=args.brackets, seed=args.seed,
+            schedule=args.lr_schedule,
         )
     elif args.scheduler == "tpe":
         result = tpe_search(
@@ -436,7 +439,8 @@ def _cmd_sweep(args):
         result = tpe_halving(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
-            mesh=mesh, seed=args.seed,
+            eta=args.eta, min_budget=args.min_budget,
+            brackets=args.brackets, mesh=mesh, seed=args.seed,
         )
     elif args.scheduler == "tpe-fused":
         if args.mesh:
@@ -616,6 +620,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=512)
+    p.add_argument("--eta", type=int, default=3,
+                   help="halving keep-fraction 1/eta per rung "
+                        "(asha/tpe-asha/*-fused variants)")
+    p.add_argument("--min-budget", type=int, default=500,
+                   help="first halving rung's iteration budget")
+    p.add_argument("--brackets", type=int, default=3,
+                   help="TPE x halving brackets (tpe-asha, tpe-asha-fused)")
     p.add_argument("--scheduler",
                    choices=["random", "asha", "tpe", "tpe-asha", "tpe-fused",
                             "asha-fused", "tpe-asha-fused"],

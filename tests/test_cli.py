@@ -64,6 +64,20 @@ def test_sweep_subcommand(tmp_path):
     assert "best_config" in data and len(data["configs"]) == 3
 
 
+def test_sweep_asha_fused_subcommand(tmp_path):
+    """--scheduler asha-fused / tpe-asha-fused run the in-kernel halving
+    schedulers end-to-end through the CLI (tiny budgets, CPU interpret)."""
+    for sched in ("asha-fused", "tpe-asha-fused"):
+        rd = str(tmp_path / f"tr_{sched}")
+        main(["sweep", "--equation", "simple_ode", "--scheduler", sched,
+              "--num-samples", "4", "--max-iters", "24", "--min-budget", "6",
+              "--eta", "2", "--brackets", "2", "--max-batch-size", "8",
+              "--results-dir", rd, "--seed", "1"])
+        data = json.loads((Path(rd) / "sweep_simple_ode.json").read_text())
+        assert len(data["configs"]) == 4
+        assert data["best_config"]["n_iters"] == 24  # winner fully trained
+
+
 def test_ablation_batchnorm_subcommand(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rd = str(tmp_path / "temp_results")

@@ -95,15 +95,15 @@ def main(full: bool = False):
 
     # Fused halving: rungs priced in-kernel; the winner must be fully
     # trained (n_iters == max_budget) and converge.
-    from differential_equations_dnn_tpu.equations import Heat1D as _H
     from differential_equations_dnn_tpu.sweep import halving_search_fused
 
-    hres = halving_search_fused(_H(taps="taylor"), jax.random.key(0),
+    hres = halving_search_fused(Heat1D(taps="taylor"), jax.random.key(0),
                                 num_samples=9, eta=3, min_budget=500,
                                 max_budget=5000, seed=0)
     hbest = hres.best_params()
     hsingle = {k: jax.tree.map(lambda a: a[0], v) for k, v in hbest.items()}
-    hmae = float(_H().mae(_H().default_model().apply, hsingle, nodes=40))
+    hprob = Heat1D()
+    hmae = float(hprob.mae(hprob.default_model().apply, hsingle, nodes=40))
     ok = (hres.best_config["n_iters"] == 5000 and hmae < 0.02)
     print(f"{'OK ' if ok else 'FAIL'} asha-fused       mae={hmae:.5f} "
           f"(bound 0.02)  best={hres.best_config}")

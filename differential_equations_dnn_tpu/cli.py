@@ -409,6 +409,7 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             eta=args.eta, min_budget=args.min_budget, mesh=mesh,
+            seed=args.seed,
         )
     elif args.scheduler == "asha-fused":
         if args.mesh:
@@ -650,12 +651,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-schedule",
                    choices=["constant", "cosine", "exponential"],
                    default=None,
-                   help="per-trial lr schedule for tpe-fused trials; decay "
-                        "schedules follow each trial's OWN n_iters budget "
-                        "(runtime horizon in-kernel). Default: lr-only "
-                        "sweeps inherit the equation's deployment "
-                        "schedule, full spaces use constant (the "
-                        "reference's fixed-lr Optuna protocol)")
+                   help="per-trial lr schedule for the fused schedulers "
+                        "(tpe-fused, asha-fused, tpe-asha-fused); decay "
+                        "schedules follow each trial's/rung's OWN budget "
+                        "(runtime horizon in-kernel). Default: tpe-fused "
+                        "lr-only sweeps inherit the equation's deployment "
+                        "schedule; full spaces and the halving schedulers "
+                        "use constant (the reference's fixed-lr protocol — "
+                        "and the only schedule under which a halving "
+                        "promotion extends the identical trajectory)")
     p.add_argument("--space", choices=["full", "lr"], default="full",
                    help="tpe-fused search space: full = the reference's "
                         "batch_size/n_iters/lrate "

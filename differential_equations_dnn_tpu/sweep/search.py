@@ -107,6 +107,13 @@ class SweepResult:
             # eligible — their scores are also the fully-trained ones.
             eligible = np.full_like(finite, np.inf)
             eligible[self.param_indices] = finite[self.param_indices]
+            if not np.isfinite(eligible).any():
+                # Every param-holding trial diverged (all-NaN final rung):
+                # still point at one of THEM — argmin over all-inf would
+                # land on index 0, which may be a pruned trial whose
+                # params were dropped (best_params() would IndexError).
+                self.best_index = int(self.param_indices[0])
+                return
             finite = eligible
         self.best_index = int(np.argmin(finite))
 
@@ -208,10 +215,17 @@ def successive_halving(problem, key, num_samples: int = 27, space: SearchSpace |
         dtype=jnp.int32,
     )
     max_budget = int(max_budget or problem.defaults.iterations)
+    if eta < 2:
+        # keep = len(alive)//eta would never prune and budget*eta never
+        # grow — the rung loop would spin forever (eta=0: ZeroDivision).
+        raise ValueError(f"halving needs eta >= 2 (got {eta})")
+    min_budget = max(1, min(int(min_budget), max_budget))
 
     alive = np.arange(num_samples)
     params = opt_state = None
-    budget = int(min_budget)
+    # A single trial has nothing to prune against — train it to the full
+    # budget immediately instead of stopping at the first rung.
+    budget = max_budget if num_samples == 1 else int(min_budget)
     spent = 0
     last_scores = np.zeros(num_samples)
     # Per-trial realised budget: the rung at which the trial stopped. The
@@ -504,7 +518,11 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     the DGM engine (batch width is compile-time there); n_iters is OWNED
     by the rung schedule, exactly as in ``successive_halving``.
     ``schedule`` defaults to "constant" (the reference's fixed-lr
-    protocol); decay schedules follow each rung's own horizon.
+    protocol). Note: restart == promotion holds EXACTLY only for
+    constant lr — a decay schedule's horizon follows each rung's own
+    budget, so a promoted trial re-trains under a longer decay curve
+    (still a valid halving-with-restarts, but rungs re-tune rather than
+    extend the identical trajectory).
 
     ``draws`` (dict of [num_samples] config arrays) overrides the random
     draws — how ``tpe_halving_fused`` injects model-proposed configs;
@@ -516,6 +534,8 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     bs = int(batch_size if batch_size is not None
              else problem.defaults.batch_size)
     max_budget = int(max_budget or problem.defaults.iterations)
+    if eta < 2:
+        raise ValueError(f"halving needs eta >= 2 (got {eta})")
     min_budget = max(1, min(int(min_budget), max_budget))
     schedule = schedule or "constant"
 
@@ -560,7 +580,9 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                    np.int64), max_bs)
 
     alive = np.arange(num_samples)
-    budget = min_budget
+    # A single trial has nothing to prune against — train it to the full
+    # budget immediately (also reached via tpe_halving_fused brackets of 1).
+    budget = max_budget if num_samples == 1 else min_budget
     last_scores = np.zeros(num_samples)
     iters_done = np.zeros(num_samples, dtype=np.int64)
     flats: dict[int, tuple] = {}
@@ -596,6 +618,54 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                        losses=None, params=params, param_indices=alive)
 
 
+def _tpe_brackets(space, seed: int, gamma: float, brackets: int,
+                  num_samples: int, inner) -> SweepResult:
+    """Shared TPE×halving bracket driver (tpe_halving / tpe_halving_fused):
+    ``inner(bracket_index, per_bracket, draws) -> SweepResult`` runs one
+    halving bracket on the proposed configs; the sampler is told every
+    trial's realised (config, score) — dropped trials report their last
+    rung score at their realised budget — and the best fully-trained
+    trial across brackets wins."""
+    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
+
+    brackets = max(1, min(brackets, num_samples))
+    per_bracket = -(-num_samples // brackets)
+    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
+                         n_initial=per_bracket)
+
+    all_configs: list[dict] = []
+    all_scores: list[float] = []
+    best_params = None
+    best_flat_idx = -1
+    best_score = np.inf
+    res = None
+    for b in range(brackets):
+        proposals = sampler.ask(per_bracket)
+        draws = {name: np.asarray([c[name] for c in proposals])
+                 for name in space.specs}
+        res = inner(b, per_bracket, draws)
+        sampler.tell(res.configs, res.scores)
+        finite = np.where(np.isfinite(res.scores), res.scores, np.inf)
+        eligible = np.full_like(finite, np.inf)
+        eligible[res.param_indices] = finite[res.param_indices]
+        b_best = int(np.argmin(eligible))
+        if eligible[b_best] < best_score:
+            best_score = float(eligible[b_best])
+            best_flat_idx = len(all_configs) + b_best
+            best_params = res.best_params()
+        all_configs.extend(res.configs)
+        all_scores.extend(float(s) for s in res.scores)
+    if best_params is None:
+        # Every bracket's survivors diverged (all-NaN final rungs): fall
+        # back to the last bracket's well-defined best so the result is
+        # still inspectable instead of crashing downstream.
+        best_flat_idx = len(all_configs) - len(res.configs) + res.best_index
+        best_params = res.best_params()
+    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
+                       losses=None, params=best_params,
+                       param_indices=np.array([best_flat_idx]))
+
+
 def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
                       space: SearchSpace | None = None, model=None,
                       eta: int = 3, min_budget: int = 500,
@@ -614,8 +684,6 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
     The sampler is told every trial's realised (config, score) — dropped
     trials report their last rung score at their realised budget, exactly
     like ``tpe_halving`` on the population tier."""
-    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
-
     model = model or problem.default_model()
     if space is None:
         from differential_equations_dnn_tpu.kernels import fused_dgm
@@ -628,44 +696,16 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
             space = SearchSpace({"lrate": loguniform(1e-4, 1e-1),
                                  "batch_size": randint(1, 512)})
 
-    brackets = max(1, min(brackets, num_samples))
-    per_bracket = -(-num_samples // brackets)
-    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
-                         n_initial=per_bracket)
-
-    all_configs: list[dict] = []
-    all_scores: list[float] = []
-    best_params = None
-    best_flat_idx = -1
-    best_score = np.inf
-    for b in range(brackets):
-        proposals = sampler.ask(per_bracket)
-        draws = {name: np.asarray([c[name] for c in proposals])
-                 for name in space.specs}
-        res = halving_search_fused(
+    def inner(b, per_bracket, draws):
+        return halving_search_fused(
             problem, key, num_samples=per_bracket, seed=seed + b,
             space=space, model=model, eta=eta, min_budget=min_budget,
             max_budget=max_budget, batch_size=batch_size,
             max_batch_size=max_batch_size, schedule=schedule,
             draws=draws, trial_offset=b * per_bracket,
         )
-        # Scores carry each trial's realised budget in its config — the
-        # sampler learns from the (config, last-rung score) pairs.
-        sampler.tell(res.configs, res.scores)
-        finite = np.where(np.isfinite(res.scores), res.scores, np.inf)
-        eligible = np.full_like(finite, np.inf)
-        eligible[res.param_indices] = finite[res.param_indices]
-        b_best = int(np.argmin(eligible))
-        if eligible[b_best] < best_score:
-            best_score = float(eligible[b_best])
-            best_flat_idx = len(all_configs) + b_best
-            best_params = res.best_params()
-        all_configs.extend(res.configs)
-        all_scores.extend(float(s) for s in res.scores)
 
-    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
-                       losses=None, params=best_params,
-                       param_indices=np.array([best_flat_idx]))
+    return _tpe_brackets(space, seed, gamma, brackets, num_samples, inner)
 
 
 # ---- TPE × successive halving (the reference's full scheduler pairing) ------
@@ -684,47 +724,17 @@ def tpe_halving(problem, key, num_samples: int = 27, space: SearchSpace | None =
     bracket's (config, score) observations (the first bracket is the random
     bootstrap). Within a bracket the rung schedule owns budget allocation,
     exactly like ``successive_halving``."""
-    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
-
     space = space or heat_search_space()
     model = model or problem.default_model()
     max_batch_size = _clamp_batch_cap(problem, max_batch_size)
 
-    brackets = max(1, min(brackets, num_samples))
-    per_bracket = -(-num_samples // brackets)
-    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
-                         n_initial=per_bracket)
-
-    all_configs: list[dict] = []
-    all_scores: list[float] = []
-    best_params = None
-    best_flat_idx = -1
-    best_score = np.inf
-    for b in range(brackets):
-        proposals = sampler.ask(per_bracket)
-        draws = {name: np.asarray([c[name] for c in proposals])
-                 for name in space.specs}
-        res = successive_halving(
+    def inner(b, per_bracket, draws):
+        return successive_halving(
             problem, jax.random.fold_in(key, b), num_samples=per_bracket,
             space=space, model=model, seed=seed + b, mesh=mesh, eta=eta,
             min_budget=min_budget, max_budget=max_budget,
             max_batch_size=max_batch_size, chunk_size=chunk_size,
             draws=draws,
         )
-        # Tell the sampler the realised (config, score) pairs — dropped
-        # trials report their last rung score at their realised budget.
-        sampler.tell(res.configs, res.scores)
-        finite = np.where(np.isfinite(res.scores), res.scores, np.inf)
-        eligible = np.full_like(finite, np.inf)
-        eligible[res.param_indices] = finite[res.param_indices]
-        b_best = int(np.argmin(eligible))
-        if eligible[b_best] < best_score:
-            best_score = float(eligible[b_best])
-            best_flat_idx = len(all_configs) + b_best
-            best_params = res.best_params()
-        all_configs.extend(res.configs)
-        all_scores.extend(float(s) for s in res.scores)
 
-    return SweepResult(configs=all_configs, scores=np.asarray(all_scores),
-                       losses=None, params=best_params,
-                       param_indices=np.array([best_flat_idx]))
+    return _tpe_brackets(space, seed, gamma, brackets, num_samples, inner)

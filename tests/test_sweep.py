@@ -283,6 +283,35 @@ def test_halving_search_fused_end_to_end(key):
                              space=SearchSpace({"n_iters": randint(2, 9)}))
 
 
+def test_halving_guards_and_single_trial(key):
+    """Regression: eta<2 raises instead of spinning forever (both tiers);
+    a single-trial halving population trains straight to max_budget
+    instead of silently stopping at the first rung (also reached via
+    tpe_halving_fused brackets of one)."""
+    from differential_equations_dnn_tpu.sweep import (
+        halving_search_fused,
+        successive_halving,
+    )
+
+    prob = SimpleODE()
+    with pytest.raises(ValueError, match="eta >= 2"):
+        halving_search_fused(prob, key, num_samples=2, eta=1,
+                             min_budget=4, max_budget=8)
+    with pytest.raises(ValueError, match="eta >= 2"):
+        successive_halving(prob, key, num_samples=2, eta=0,
+                           min_budget=4, max_budget=8, chunk_size=4)
+    res = halving_search_fused(prob, key, num_samples=1, eta=2,
+                               min_budget=8, max_budget=32,
+                               space=SearchSpace({"lrate":
+                                                  loguniform(1e-4, 1e-2)}),
+                               batch_size=8)
+    assert res.configs[0]["n_iters"] == 32
+    res_p = successive_halving(prob, key, num_samples=1, eta=2,
+                               min_budget=8, max_budget=32, chunk_size=8,
+                               max_batch_size=8)
+    assert res_p.configs[0]["n_iters"] == 32
+
+
 def test_tpe_halving_fused_brackets(key):
     """BOHB on the fused tier: brackets of TPE proposals pruned by
     in-kernel rungs, every bracket through the same executable with

@@ -1074,6 +1074,108 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     return eval_fn
 
 
+def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
+                                max_batch=512, model=None,
+                                steps_per_cell: int | None = None,
+                                precision: str = "highest",
+                                schedule: str | None = None,
+                                decay: float = 0.1):
+    """Sharded counterpart of :func:`make_sweep_evaluator`: evaluate a
+    VECTOR of runtime-gated trials in ONE dispatch, trials sharded over
+    ``mesh``'s 'pop' axis via ``jax.shard_map`` — each chip trains its
+    local trials entirely in-kernel, zero collectives (the halving
+    schedulers' rung evaluations become embarrassingly parallel).
+
+    Key-compatible with ``make_sweep_evaluator``: trial init folds
+    (``fold_in(init_key, t)``) and the collocation stream derive
+    identically from ``key``, so a sharded rung reproduces the
+    sequential evaluator's trials exactly (CPU-mesh tested).
+
+    Returns ``eval_fn(trial_indices, lrates, batch_sizes, n_iters) ->
+    (final_losses [P], flat_stacked)`` where ``final_losses[i]`` is
+    trial i's loss at ITS OWN budget. P must be a multiple of the 'pop'
+    axis size — pad by repeating trials (a duplicate costs only its own
+    gated budget). Distinct P values compile distinct programs (each
+    cached)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase; use "
+                         "'highest' or 'default'")
+    pop_axis = "pop"
+    if pop_axis not in mesh.shape:
+        raise ValueError(
+            f"sharded rung evaluation needs a '{pop_axis}' mesh axis; "
+            f"the given mesh has axes {tuple(mesh.axis_names)} — build it "
+            f"with make_mesh({{'pop': N}})")
+    n_shards = mesh.shape[pop_axis]
+
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+
+    init_key, run_key = cached_split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (max_batch, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+    # vmapped init over the same per-trial folded keys the sequential
+    # evaluator uses — identical values, one batched program.
+    _init_all = jax.jit(lambda ts: jax.vmap(
+        lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
+
+    def run_local(flat_local, lrs, bss, ns, u):
+        outs_p, finals = [], []
+        for j in range(flat_local[0].shape[0]):
+            p = tuple(t[j] for t in flat_local)
+            zeros = tuple(jnp.zeros_like(t) for t in p)
+            p, _, _, lo = fused_engine_chunk(
+                spec, model, p, zeros, zeros, u, 0, lrate=lrs[j],
+                steps_per_cell=steps_per_cell,
+                precision=_PRECISIONS[precision], schedule=schedule,
+                total_steps=max_iters, decay=decay,
+                runtime_bs=bss[j], runtime_steps=ns[j])
+            outs_p.append(p)
+            finals.append(jnp.take(lo, ns[j] - 1))
+        return (tuple(jnp.stack([o[k] for o in outs_p])
+                      for k in range(_N_TENSORS)),
+                jnp.stack(finals))
+
+    pspec = PartitionSpec(pop_axis)
+    sharded = jax.jit(jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(tuple(pspec for _ in range(_N_TENSORS)),
+                  pspec, pspec, pspec, PartitionSpec()),
+        out_specs=(tuple(pspec for _ in range(_N_TENSORS)), pspec),
+        check_vma=False))
+
+    def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
+        P = len(trial_indices)
+        if P % n_shards:
+            raise ValueError(f"{P} trials not divisible by the "
+                             f"'{pop_axis}' axis ({n_shards} shards) — "
+                             f"pad by repeating trials")
+        stacked = _init_all(jnp.asarray(trial_indices))
+        flat = pack_params(model, stacked)
+        flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
+                     for t in flat)
+        lrs = jnp.asarray(lrates, jnp.float32)
+        bss = jnp.minimum(jnp.asarray(batch_sizes, jnp.int32), max_batch)
+        ns = jnp.clip(jnp.asarray(n_iters, jnp.int32), 1, user_max)
+        flat_out, finals = sharded(flat, lrs, bss, ns, uniforms)
+        return np.asarray(finals), flat_out
+
+    return eval_fn
+
+
 def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
              steps_per_cell: int | None = None, precision: str = "highest",
              schedule: str | None = None, decay: float = 0.1):

@@ -500,7 +500,8 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                          max_batch_size: int = 512,
                          schedule: str | None = None,
                          draws: dict | None = None,
-                         trial_offset: int = 0) -> SweepResult:
+                         trial_offset: int = 0,
+                         mesh=None) -> SweepResult:
     """Successive halving (the ASHA role) with every rung evaluation inside
     ONE compiled fused Pallas kernel.
 
@@ -527,7 +528,14 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     ``draws`` (dict of [num_samples] config arrays) overrides the random
     draws — how ``tpe_halving_fused`` injects model-proposed configs;
     ``trial_offset`` shifts the init fold indices so successive brackets
-    get independent initialisations through the same executable."""
+    get independent initialisations through the same executable.
+
+    ``mesh`` (a 'pop'-axis mesh, MLP engine only) evaluates each rung's
+    surviving trials in ONE sharded dispatch
+    (``fused_engine.make_sharded_rung_evaluator``) — rungs pad to a
+    multiple of the axis size by repeating trials, and results are
+    bit-identical to the sequential path (same init folds, same
+    stream)."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
 
     model = model or problem.default_model()
@@ -539,8 +547,13 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     min_budget = max(1, min(int(min_budget), max_budget))
     schedule = schedule or "constant"
 
+    sharded_ev = None
     if fused_dgm.supports(problem, model, bs):
         space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
+        if mesh is not None:
+            raise ValueError(
+                "sharded rung evaluation (mesh=) is MLP-engine only; the "
+                "DGM engine's trials run sequentially (mesh=None)")
         if set(space.specs) != {"lrate"}:
             raise ValueError(
                 "halving_search_fused on the DGM engine sweeps the lrate "
@@ -564,10 +577,15 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
         if isinstance(bspec, randint):
             max_bs = min(max_bs, bspec.high - 1)
         compile_bs = -(-max_bs // 64) * 64
-        eval_fn = fused_engine.make_sweep_evaluator(problem, key, max_budget,
-                                                    max_batch=compile_bs,
-                                                    model=model,
-                                                    schedule=schedule)
+        if mesh is not None:
+            sharded_ev = fused_engine.make_sharded_rung_evaluator(
+                problem, key, max_budget, mesh, max_batch=compile_bs,
+                model=model, schedule=schedule)
+            eval_fn = None
+        else:
+            eval_fn = fused_engine.make_sweep_evaluator(
+                problem, key, max_budget, max_batch=compile_bs,
+                model=model, schedule=schedule)
         unpack = lambda stacked: fused_engine.unpack_params(model, stacked)
 
     if draws is None:
@@ -586,12 +604,29 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     last_scores = np.zeros(num_samples)
     iters_done = np.zeros(num_samples, dtype=np.int64)
     flats: dict[int, tuple] = {}
+    def eval_rung(alive, budget):
+        if sharded_ev is None:
+            for t in alive:
+                losses, flat = eval_fn(int(t) + trial_offset,
+                                       float(lrates[t]),
+                                       int(batch_sizes[t]), int(budget))
+                last_scores[t] = float(losses[-1])
+                flats[int(t)] = flat
+            return
+        idx = [int(t) for t in alive]
+        pad = (-len(idx)) % mesh.shape["pop"]
+        idx_p = idx + [idx[-1]] * pad  # duplicates cost their gated budget
+        finals, flat_out = sharded_ev(
+            [t + trial_offset for t in idx_p],
+            [float(lrates[t]) for t in idx_p],
+            [int(batch_sizes[t]) for t in idx_p],
+            [int(budget)] * len(idx_p))
+        for pos, t in enumerate(idx):
+            last_scores[t] = float(finals[pos])
+            flats[t] = tuple(f[pos] for f in flat_out)
+
     while True:
-        for t in alive:
-            losses, flat = eval_fn(int(t) + trial_offset, float(lrates[t]),
-                                   int(batch_sizes[t]), int(budget))
-            last_scores[t] = float(losses[-1])
-            flats[int(t)] = flat
+        eval_rung(alive, budget)
         iters_done[alive] = budget
         if budget >= max_budget or len(alive) <= 1:
             break

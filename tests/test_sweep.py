@@ -283,6 +283,29 @@ def test_halving_search_fused_end_to_end(key):
                              space=SearchSpace({"n_iters": randint(2, 9)}))
 
 
+def test_halving_search_fused_sharded_matches_sequential(key):
+    """mesh={'pop': 2} evaluates each rung as ONE sharded dispatch
+    (fused_engine.make_sharded_rung_evaluator) and must reproduce the
+    sequential path bit-for-bit — same init folds, same stream; odd rungs
+    pad by repeating a trial."""
+    from differential_equations_dnn_tpu.parallel import make_mesh
+    from differential_equations_dnn_tpu.sweep import halving_search_fused
+
+    prob = SimpleODE()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16)})
+    kw = dict(num_samples=4, space=space, eta=2, min_budget=8,
+              max_budget=32, seed=5)
+    seq = halving_search_fused(prob, key, **kw)
+    sh = halving_search_fused(prob, key, mesh=make_mesh({"pop": 2}), **kw)
+    np.testing.assert_array_equal(sh.scores, seq.scores)
+    assert sh.best_index == seq.best_index
+    assert [c["n_iters"] for c in sh.configs] == \
+        [c["n_iters"] for c in seq.configs]
+    for a, b in zip(jax.tree.leaves(sh.params), jax.tree.leaves(seq.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_halving_guards_and_single_trial(key):
     """Regression: eta<2 raises instead of spinning forever (both tiers);
     a single-trial halving population trains straight to max_budget

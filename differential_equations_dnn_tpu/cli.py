@@ -412,23 +412,21 @@ def _cmd_sweep(args):
             seed=args.seed,
         )
     elif args.scheduler == "asha-fused":
-        if args.mesh:
-            raise SystemExit("--scheduler asha-fused is single-chip")
+        # --mesh N shards each rung's trials over a 'pop' mesh (one
+        # shard_map dispatch of runtime-gated kernels per rung).
         result = halving_search_fused(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             eta=args.eta, min_budget=args.min_budget,
-            seed=args.seed, schedule=args.lr_schedule,
+            seed=args.seed, schedule=args.lr_schedule, mesh=mesh,
         )
     elif args.scheduler == "tpe-asha-fused":
-        if args.mesh:
-            raise SystemExit("--scheduler tpe-asha-fused is single-chip")
         result = tpe_halving_fused(
             problem, key, num_samples=args.num_samples,
             max_budget=args.max_iters, max_batch_size=args.max_batch_size,
             eta=args.eta, min_budget=args.min_budget,
             brackets=args.brackets, seed=args.seed,
-            schedule=args.lr_schedule,
+            schedule=args.lr_schedule, mesh=mesh,
         )
     elif args.scheduler == "tpe":
         result = tpe_search(

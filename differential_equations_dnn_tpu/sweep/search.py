@@ -708,7 +708,8 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
                       batch_size: int | None = None,
                       max_batch_size: int = 512,
                       schedule: str | None = None,
-                      brackets: int = 3, gamma: float = 0.1) -> SweepResult:
+                      brackets: int = 3, gamma: float = 0.1,
+                      mesh=None) -> SweepResult:
     """The reference's full scheduler pairing (OptunaSearch + ASHA,
     optimize_heat_ray.py:179-181) entirely on the fused tier: TPE proposes
     each bracket's configs, ``halving_search_fused`` prunes them with
@@ -737,7 +738,7 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
             space=space, model=model, eta=eta, min_budget=min_budget,
             max_budget=max_budget, batch_size=batch_size,
             max_batch_size=max_batch_size, schedule=schedule,
-            draws=draws, trial_offset=b * per_bracket,
+            draws=draws, trial_offset=b * per_bracket, mesh=mesh,
         )
 
     return _tpe_brackets(space, seed, gamma, brackets, num_samples, inner)

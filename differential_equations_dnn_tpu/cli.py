@@ -664,7 +664,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(optimize_heat_ray.py:173-176, runtime-masked); "
                         "lr = learning rate only (fixed-shape evaluator)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--mesh", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard trials over a {'pop': N} mesh (population "
+                        "schedulers vmap+shard; asha-fused/tpe-asha-fused "
+                        "run each rung as one shard_map dispatch of "
+                        "runtime-gated kernels)")
     p.add_argument("--results-dir", type=str, default="temp_results")
     p.add_argument("--platform", type=str, default=None)
     p.set_defaults(func=_cmd_sweep)

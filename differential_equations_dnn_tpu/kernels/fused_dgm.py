@@ -644,6 +644,102 @@ def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
     return eval_fn
 
 
+def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
+                                batch_size=100, model=None,
+                                steps_per_cell: int | None = None,
+                                precision: str = "highest",
+                                schedule: str | None = None,
+                                decay: float = 0.1):
+    """DGM counterpart of fused_engine.make_sharded_rung_evaluator:
+    evaluate a VECTOR of step-gated trials (lr + n_iters runtime; batch
+    width compile-time) in ONE dispatch, trials sharded over ``mesh``'s
+    'pop' axis via ``jax.shard_map``. Key-compatible with
+    :func:`make_sweep_evaluator` — identical init folds and collocation
+    stream — so a sharded rung reproduces the sequential trials exactly.
+
+    Returns ``eval_fn(trial_indices, lrates, n_iters) ->
+    (final_losses [P], flat_stacked)``; P must be a multiple of the
+    'pop' axis size (pad by repeating trials)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase; use "
+                         "'highest' or 'default'")
+    pop_axis = "pop"
+    if pop_axis not in mesh.shape:
+        raise ValueError(
+            f"sharded rung evaluation needs a '{pop_axis}' mesh axis; "
+            f"build the mesh with make_mesh({{'pop': N}})")
+    n_shards = mesh.shape[pop_axis]
+
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+
+    init_key, run_key = cached_split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+    _init_all = jax.jit(lambda ts: jax.vmap(
+        lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
+
+    def run_local(flat_local, lrs, ns, u):
+        outs_p, finals = [], []
+        n_tensors = len(flat_local)
+        for j in range(flat_local[0].shape[0]):
+            p = tuple(t[j] for t in flat_local)
+            zeros = tuple(jnp.zeros_like(t) for t in p)
+            p, _, _, lo = fused_dgm_chunk(
+                spec, model, p, zeros, zeros, u, 0, lrate=lrs[j],
+                const=const, steps_per_cell=steps_per_cell,
+                precision=_PRECISIONS[precision], schedule=schedule,
+                total_steps=max_iters, decay=decay, runtime_steps=ns[j])
+            outs_p.append(p)
+            finals.append(jnp.take(lo, ns[j] - 1))
+        return (tuple(jnp.stack([o[k] for o in outs_p])
+                      for k in range(n_tensors)),
+                jnp.stack(finals))
+
+    pspec = PartitionSpec(pop_axis)
+    n_flat = 10  # fused_dgm_chunk's parameter-tensor count
+    sharded = jax.jit(jax.shard_map(
+        run_local, mesh=mesh,
+        in_specs=(tuple(pspec for _ in range(n_flat)),
+                  pspec, pspec, PartitionSpec()),
+        out_specs=(tuple(pspec for _ in range(n_flat)), pspec),
+        check_vma=False))
+
+    def eval_fn(trial_indices, lrates, n_iters):
+        P = len(trial_indices)
+        if P % n_shards:
+            raise ValueError(f"{P} trials not divisible by the "
+                             f"'{pop_axis}' axis ({n_shards} shards) — "
+                             f"pad by repeating trials")
+        flat = pack_dgm(_init_all(jnp.asarray(trial_indices)))
+        flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
+                     for t in flat)
+        lrs = jnp.asarray(lrates, jnp.float32)
+        ns = jnp.clip(jnp.asarray(n_iters, jnp.int32), 1, user_max)
+        flat_out, finals = sharded(flat, lrs, ns, uniforms)
+        return np.asarray(finals), flat_out
+
+    return eval_fn
+
+
 def train_dgm_fused_result(problem, key, iterations, batch_size=100,
                            lrate=1e-4, chunk_size=25_000, model=None,
                            params=None, opt_state=None, start_step: int = 0,

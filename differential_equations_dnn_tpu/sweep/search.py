@@ -550,19 +550,22 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     sharded_ev = None
     if fused_dgm.supports(problem, model, bs):
         space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
-        if mesh is not None:
-            raise ValueError(
-                "sharded rung evaluation (mesh=) is MLP-engine only; the "
-                "DGM engine's trials run sequentially (mesh=None)")
         if set(space.specs) != {"lrate"}:
             raise ValueError(
                 "halving_search_fused on the DGM engine sweeps the lrate "
                 "only (batch width is compile-time; n_iters is owned by "
                 "the rung schedule)")
-        _ev = fused_dgm.make_sweep_evaluator(problem, key, max_budget,
-                                             batch_size=bs, model=model,
-                                             schedule=schedule)
-        eval_fn = lambda t, lr, b, n: _ev(t, lr, n)
+        if mesh is not None:
+            _shev = fused_dgm.make_sharded_rung_evaluator(
+                problem, key, max_budget, batch_size=bs, model=model,
+                schedule=schedule, mesh=mesh)
+            sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
+            eval_fn = None
+        else:
+            _ev = fused_dgm.make_sweep_evaluator(problem, key, max_budget,
+                                                 batch_size=bs, model=model,
+                                                 schedule=schedule)
+            eval_fn = lambda t, lr, b, n: _ev(t, lr, n)
         max_bs = bs
         unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
     else:

@@ -305,6 +305,20 @@ def test_halving_search_fused_sharded_matches_sequential(key):
     for a, b in zip(jax.tree.leaves(sh.params), jax.tree.leaves(seq.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # DGM route: lr-only trials, step gate only — same equivalence.
+    from differential_equations_dnn_tpu.equations import Fredholm2
+
+    dprob = Fredholm2(k=10, quadrature="gauss")
+    dkw = dict(num_samples=4, eta=2, min_budget=6, max_budget=24,
+               batch_size=8, seed=2)
+    dseq = halving_search_fused(dprob, key, **dkw)
+    dsh = halving_search_fused(dprob, key, mesh=make_mesh({"pop": 2}),
+                               **dkw)
+    np.testing.assert_array_equal(dsh.scores, dseq.scores)
+    for a, b in zip(jax.tree.leaves(dsh.params),
+                    jax.tree.leaves(dseq.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_halving_guards_and_single_trial(key):
     """Regression: eta<2 raises instead of spinning forever (both tiers);

@@ -34,6 +34,7 @@ def main(full: bool = False):
         # lr 1e-4; the reduced run uses lr 1e-3 (MAE 0.0009 at 20k).
         ("uat", {}, dict(iterations=20_000, lrate=1e-3), 0.05),
         ("wave", {}, dict(iterations=5000), 0.05),
+        ("advection", {}, dict(iterations=5000), 0.05),
         ("poisson", {}, dict(iterations=5000), 0.05),
         ("volterra", {}, dict(iterations=2000), 0.05),
         ("inverse_heat", {}, dict(iterations=3000), 0.05),
@@ -55,6 +56,10 @@ def main(full: bool = False):
     fused_cases = [
         ("heat", {}, dict(iterations=5000), 0.02),
         ("wave", {}, dict(iterations=5000), 0.05),
+        # High-speed transport with in-kernel causal weighting: the plain
+        # loss collapses to the damped branch at this speed (MAE ~0.2).
+        ("advection", {"c": 50.0, "causal_eps": 5.0},
+         dict(iterations=30_000), 0.05),
         ("fredholm", {"quadrature": "gauss", "k": 16},
          dict(iterations=2000, lrate=1e-3), 0.05),
     ]

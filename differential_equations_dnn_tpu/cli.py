@@ -52,6 +52,8 @@ ARTIFACTS = {
     "uat": ("approximation", "uat_loss", "ground_truth", "figs/universal_approx.pdf"),
     "wave": ("wave_sol_dgm", "wave_sol_dgm_loss",
              "wave_sol_exact", "figs/wave_solution.pdf"),
+    "advection": ("advection_sol_dgm", "advection_sol_dgm_loss",
+                  "advection_sol_exact", "figs/advection_solution.pdf"),
     "poisson": ("poisson_sol_dgm", "poisson_sol_dgm_loss",
                 "poisson_sol_exact", "figs/poisson_solution.pdf"),
     "volterra": ("volterra_approx", "volterra_loss",
@@ -301,7 +303,8 @@ def _plot(problem, args):
         ) from e
     savepath = fig_name if args.savefig else None
 
-    if problem.name in ("heat", "inverse_heat", "wave", "poisson"):
+    if problem.name in ("heat", "inverse_heat", "wave", "poisson",
+                        "advection"):
         _, mae = viz.plot_heat(y_exact, y_approx, loss, args.niters,
                                savepath=savepath)
     elif problem.name == "burgers":
@@ -353,6 +356,13 @@ def _cmd_equation(name, args):
                 problem.defaults, lrate=1e-4, schedule="constant"))
     elif name == "volterra":
         problem = problem_cls(quadrature=args.quadrature, k=args.quad_nodes)
+    elif name == "advection":
+        kw = {}
+        if getattr(args, "c", None) is not None:
+            kw["c"] = args.c
+        if getattr(args, "causal_eps", 0.0):
+            kw["causal_eps"] = args.causal_eps
+        problem = problem_cls(**kw)
     elif name == "fitzhugh_nagumo":
         problem = problem_cls(arch=args.arch, **extra)
     elif name in ("heat", "heat2d"):
@@ -569,7 +579,8 @@ def build_parser() -> argparse.ArgumentParser:
                            help="derivative-tap path; taylor = fused stacked "
                                 "streams (fastest, default), jvp = generic")
         if name in ("simple_ode", "heat", "burgers", "wave", "poisson",
-                    "heat2d", "fitzhugh_nagumo", "fredholm", "volterra"):
+                    "heat2d", "fitzhugh_nagumo", "fredholm", "volterra",
+                    "advection"):
             p.add_argument("--engine", choices=["scan", "fused"],
                            default="scan",
                            help="training executor: scan = generic jitted "
@@ -597,6 +608,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 "Gauss-Legendre (deterministic), montecarlo "
                                 "= fresh t ~ x*U per step")
             p.add_argument("--quad-nodes", type=int, default=50)
+        if name == "advection":
+            p.add_argument("--speed", type=float, default=None, dest="c",
+                           help="transport speed c (default 2*pi; high c "
+                                "is the canonical PINN failure mode — "
+                                "pair with --causal-eps)")
+            p.add_argument("--causal-eps", type=float, default=0.0,
+                           help="causal residual weighting strength "
+                                "(Wang et al. 2022; 0 = off)")
         if name == "fitzhugh_nagumo":
             p.add_argument("--arch", choices=["dgm", "fourier_mlp"],
                            default="dgm",

@@ -18,6 +18,7 @@ from differential_equations_dnn_tpu.equations.uat import SineFit
 from differential_equations_dnn_tpu.equations.wave import Wave1D
 from differential_equations_dnn_tpu.equations.poisson import Poisson2D
 from differential_equations_dnn_tpu.equations.volterra import Volterra2
+from differential_equations_dnn_tpu.equations.advection import Advection1D
 
 PROBLEMS = {
     "simple_ode": SimpleODE,
@@ -30,6 +31,7 @@ PROBLEMS = {
     "fitzhugh_nagumo": FitzHughNagumo,
     "uat": SineFit,
     "wave": Wave1D,
+    "advection": Advection1D,
     "poisson": Poisson2D,
 }
 
@@ -45,6 +47,7 @@ __all__ = [
     "FitzHughNagumo",
     "SineFit",
     "Wave1D",
+    "Advection1D",
     "Poisson2D",
     "Volterra2",
     "PROBLEMS",

@@ -297,6 +297,62 @@ class HeatSpec:
 
 
 @dataclass(frozen=True)
+class AdvectionSpec:
+    """u_t + c·u_x = 0 (equations.advection): first-order transport — the
+    leanest PDE spec in the registry (no Hessian streams; R = 5 vs heat's
+    7). Honours the problem's causal residual weighting in-kernel: when
+    ``causal_eps > 0`` (and no runtime batch mask — causal is a
+    single-run protocol, matching the scan path's policy) the interior
+    residual energies are down-weighted by the accumulated energy at
+    earlier times via one [B, B] comparison-mask matmul with
+    stop-gradient weights — identical math to equations.advection.loss."""
+    p: object
+    n_uniform: int = 2
+    groups = (Group(n_first=2),    # interior: v, x-tangent, t-tangent
+              Group(), Group())    # t=0 face, inflow x=0
+
+    def build(self, u):
+        x = self.p.x_max * u[:, :1]
+        if getattr(self.p, "causal_eps", 0.0) > 0.0:
+            # Stratified t over [0, t_max] from the SAME uniform draw (one
+            # point per equal slice — the scan sampler's layout; rows stay
+            # unordered only across restarts, which the comparison-mask
+            # cumsum does not care about). Integer iota cast to float:
+            # Mosaic rejects float-typed tpu.iota.
+            n = u.shape[0]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+            t = (idx.astype(u.dtype) + u[:, 1:2]) * (self.p.t_max / n)
+        else:
+            t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, one),
+            _cat(x, zero), _cat(zero, t),
+        ], 0)
+        return X, {"x": x, "t": t}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_t, u0, ub = outs
+        r = jnp.square(u_t + self.p.c * u_x)
+        icbc = (jnp.square(u0 - jnp.sin(ctx["x"]))
+                + jnp.square(ub - jnp.sin(-self.p.c * ctx["t"])))
+        eps = getattr(self.p, "causal_eps", 0.0)
+        if eps > 0.0 and (not isinstance(ctx, dict)
+                          or ctx.get("mask") is None):
+            # 2-D throughout (Mosaic rejects 1-D vector ops in-kernel):
+            # [1,B] < [B,1] broadcast builds the comparison mask, and the
+            # cumulative residual is a [B,B]·[B,1] matmul.
+            t = ctx["t"]                                       # [B, 1]
+            earlier = (t.T < t).astype(r.dtype)                # [B, B]
+            dt = self.p.t_max / r.shape[0]
+            cum = (earlier @ jax.lax.stop_gradient(r)) * dt    # [B, 1]
+            wgt = jax.lax.stop_gradient(jnp.exp(-eps * cum))
+            return jnp.mean(wgt * r) + jnp.mean(icbc)
+        return _smean(r + icbc, ctx)
+
+
+@dataclass(frozen=True)
 class BurgersSpec:
     """u_t + u·u_x = ν·u_xx (equations.burgers; nonlinear residual — the
     value stream itself enters the domain residual)."""
@@ -682,6 +738,7 @@ SPECS = {
     "heat": HeatSpec,
     "burgers": BurgersSpec,
     "wave": WaveSpec,
+    "advection": AdvectionSpec,
     "poisson": PoissonSpec,
     "heat2d": Heat2DSpec,
     "volterra": VolterraSpec,

@@ -357,3 +357,63 @@ def test_fn_causal_sample_prefix_covers_domain(key):
     # ... while remaining stratified over the full batch (gap-free).
     gaps = np.diff(np.sort(t))
     assert gaps.max() < 3.0 * prob.t_max / 200
+
+
+def test_advection_loss_zero_at_exact(key):
+    from differential_equations_dnn_tpu.equations import Advection1D
+
+    prob = Advection1D()
+    exact = _exact_apply(
+        lambda z: jnp.sin(z[..., :1] - prob.c * z[..., 1:2]))
+    batch = prob.sample(key, 64)
+    assert float(prob.loss(exact, None, batch)) < 1e-9
+    # A standing profile satisfies the IC but NOT the transport residual.
+    standing = _exact_apply(lambda z: jnp.sin(z[..., :1]))
+    assert float(prob.loss(standing, None, batch)) > 0.1
+
+
+def test_advection_causal_weighting(key):
+    """causal_eps > 0: stratified-t sampling, and the weighted loss equals
+    the plain loss for a net with zero residual (weights anneal to 1)
+    while discounting late-time residual for a bad net."""
+    from differential_equations_dnn_tpu.equations import Advection1D
+
+    prob = Advection1D(causal_eps=10.0)
+    batch = prob.sample(key, 64)
+    # Stratified t: one point per slice of [0, t_max].
+    t = np.sort(np.asarray(batch["xt"][:, 1]))
+    edges = np.arange(64) * (prob.t_max / 64)
+    assert (t >= edges).all() and (t <= edges + prob.t_max / 64).all()
+    exact = _exact_apply(
+        lambda z: jnp.sin(z[..., :1] - prob.c * z[..., 1:2]))
+    assert float(prob.loss(exact, None, batch)) < 1e-9
+    # A net whose transport residual is nonzero at all times: the causal
+    # weights discount the late-time residual, so the weighted loss sits
+    # strictly below the plain mean of the same pointwise energies.
+    bad = _exact_apply(lambda z: jnp.sin(z[..., :1]) * z[..., 1:2])
+    assert (float(prob.loss(bad, None, batch))
+            < float(prob.point_loss(bad, None, batch).mean()))
+
+
+def test_advection_short_training_decreases_loss(key):
+    from differential_equations_dnn_tpu.equations import Advection1D
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    prob = Advection1D()
+    result = train(prob, key, TrainConfig(iterations=150, batch_size=32,
+                                          lrate=1e-3, schedule="cosine",
+                                          verbose=False))
+    h = result.loss_history
+    assert h[-30:].mean() < h[:30].mean()
+    assert np.isfinite(prob.mae(prob.default_model().apply, result.params,
+                                nodes=8))
+
+
+def test_advection_exact_shape():
+    from differential_equations_dnn_tpu.equations import Advection1D
+
+    prob = Advection1D()
+    u = prob.exact(12)
+    assert u.shape == (12, 12)
+    np.testing.assert_allclose(
+        u[0], np.sin(np.linspace(0, prob.x_max, 12)), atol=1e-12)

@@ -36,6 +36,12 @@ def _batch_from_uniforms(prob, u, B):
         return {"x": x, "tq": x * (gu[None, :] + 1.0) * 0.5,
                 "wq": x * gw[None, :] * 0.5}
     xm = jnp.full((B, 1), prob.x_max)
+    if name == "advection":
+        x = prob.x_max * u[:, :1]
+        t = prob.t_max * u[:, 1:2]
+        return {"xt": jnp.concatenate([x, t], 1),
+                "x0": jnp.concatenate([x, z], 1),
+                "xb": jnp.concatenate([z, t], 1)}
     if name in ("heat", "burgers", "wave"):
         x = prob.x_max * u[:, :1]
         t = prob.t_max * u[:, 1:2]
@@ -262,3 +268,33 @@ def test_unsupported_configurations_rejected(key):
                                          hidden_size=8, num_layers=1))
     with pytest.raises(ValueError):
         fe.train_fused_result(Fredholm2(), key, 4, batch_size=4)
+
+
+def test_advection_causal_spec_matches_scan_loss(key):
+    """AdvectionSpec's in-kernel causal weighting (stratified t from the
+    uniform draw, comparison-mask cumsum with stop-grad weights) must
+    reproduce equations.advection.loss's gradient exactly on the same
+    collocation points."""
+    from differential_equations_dnn_tpu.equations import Advection1D
+
+    B = 16
+    prob = Advection1D(causal_eps=10.0)
+    spec = fe.spec_for(prob)
+    model = prob.default_model()
+    params = model.init(key)
+    flat = pack_params(model, params)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (B, 2))
+    loss_e, grads_e = fe.engine_step_math(spec, flat, u, B, model.num_layers)
+
+    x = prob.x_max * u[:, :1]
+    t = (jnp.arange(B, dtype=u.dtype)[:, None] + u[:, 1:2]) * (prob.t_max / B)
+    z = jnp.zeros((B, 1))
+    batch = {"xt": jnp.concatenate([x, t], 1),
+             "x0": jnp.concatenate([x, z], 1),
+             "xb": jnp.concatenate([z, t], 1)}
+    loss_r, grads_r = jax.value_and_grad(
+        lambda p: prob.loss(model.apply, p, batch))(params)
+    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    for ge, gr in zip(grads_e, pack_params(model, grads_r)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-6)

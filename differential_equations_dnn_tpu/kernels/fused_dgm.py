@@ -571,6 +571,46 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
     return eval_fn
 
 
+def _sweep_prologue(problem, key, max_iters, batch_size, model, precision,
+                    schedule):
+    """Shared validation + key/stream derivation for the DGM runtime-gated
+    sweep evaluators (sequential and sharded BOTH route through this so
+    their bit-identical equivalence cannot drift — same checks, same
+    horizon padding, same key split, same per-index uniform stream).
+    Returns (spec, model, schedule, const, user_max, padded_max,
+    init_key, uniforms)."""
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase (the mixed "
+                         "schedule's phase split is compile-time, the "
+                         "trial budget is runtime); use 'highest' or "
+                         "'default'")
+    # Pad the compiled horizon to a multiple of 1000 (a prime/odd
+    # max_iters would force S=1 steps per grid cell); trials clamp to the
+    # caller's max_iters and the step gate masks the padding steps.
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+    init_key, run_key = cached_split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (batch_size, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+    return spec, model, schedule, const, user_max, max_iters, init_key, \
+        uniforms
+
+
 def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
                          model=None, steps_per_cell: int | None = None,
                          precision: str = "highest",
@@ -587,37 +627,9 @@ def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
     params/moments/history) are runtime. Decay schedules follow each
     trial's OWN n_iters horizon, matching a standalone run of that
     budget."""
-    spec = spec_for(problem, batch_size)
-    if spec is None:
-        raise ValueError(f"no fused DGM spec for {problem.name!r}")
-    model = model or problem.default_model()
-    if not supports(problem, model, batch_size):
-        raise ValueError(
-            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
-    if schedule is None:
-        schedule = problem.defaults.schedule
-    if precision == "mixed":
-        raise ValueError("the sweep evaluator is single-phase (the mixed "
-                         "schedule's phase split is compile-time, the "
-                         "trial budget is runtime); use 'highest' or "
-                         "'default'")
-
-    # Pad the compiled horizon to a multiple of 1000 (a prime/odd
-    # max_iters would force S=1 steps per grid cell); trials clamp to the
-    # caller's max_iters and the step gate masks the padding steps.
-    user_max = max_iters
-    max_iters = -(-max_iters // 1000) * 1000
-
-    const = None
-    if isinstance(spec, FredholmDGMSpec):
-        const = _fredholm_const(problem, batch_size, spec.n_groups)
-
-    init_key, run_key = cached_split(key)
-    _draw_all = jax.jit(lambda k: jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
-                                     (batch_size, spec.n_uniform))
-    )(jnp.arange(max_iters)))
-    uniforms = cached_call(_draw_all, run_key, label="draw")
+    spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, batch_size, model,
+                        precision, schedule)
 
     def run(flat, m, v, u, lr, n_steps):
         return fused_dgm_chunk(
@@ -662,38 +674,15 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     'pop' axis size (pad by repeating trials)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    spec = spec_for(problem, batch_size)
-    if spec is None:
-        raise ValueError(f"no fused DGM spec for {problem.name!r}")
-    model = model or problem.default_model()
-    if not supports(problem, model, batch_size):
-        raise ValueError(
-            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
-    if schedule is None:
-        schedule = problem.defaults.schedule
-    if precision == "mixed":
-        raise ValueError("the sweep evaluator is single-phase; use "
-                         "'highest' or 'default'")
+    spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, batch_size, model,
+                        precision, schedule)
     pop_axis = "pop"
     if pop_axis not in mesh.shape:
         raise ValueError(
             f"sharded rung evaluation needs a '{pop_axis}' mesh axis; "
             f"build the mesh with make_mesh({{'pop': N}})")
     n_shards = mesh.shape[pop_axis]
-
-    user_max = max_iters
-    max_iters = -(-max_iters // 1000) * 1000
-
-    const = None
-    if isinstance(spec, FredholmDGMSpec):
-        const = _fredholm_const(problem, batch_size, spec.n_groups)
-
-    init_key, run_key = cached_split(key)
-    _draw_all = jax.jit(lambda k: jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
-                                     (batch_size, spec.n_uniform))
-    )(jnp.arange(max_iters)))
-    uniforms = cached_call(_draw_all, run_key, label="draw")
     _init_all = jax.jit(lambda ts: jax.vmap(
         lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
 
@@ -715,12 +704,11 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                 jnp.stack(finals))
 
     pspec = PartitionSpec(pop_axis)
-    n_flat = 10  # fused_dgm_chunk's parameter-tensor count
     sharded = jax.jit(jax.shard_map(
         run_local, mesh=mesh,
-        in_specs=(tuple(pspec for _ in range(n_flat)),
+        in_specs=(tuple(pspec for _ in range(_N_TENSORS)),
                   pspec, pspec, PartitionSpec()),
-        out_specs=(tuple(pspec for _ in range(n_flat)), pspec),
+        out_specs=(tuple(pspec for _ in range(_N_TENSORS)), pspec),
         check_vma=False))
 
     def eval_fn(trial_indices, lrates, n_iters):

@@ -237,6 +237,17 @@ def _cat(*cols):
     return jnp.concatenate(cols, axis=1)
 
 
+def _coprime_stride(n: int) -> int:
+    """The odd stride nearest golden-ratio·n that is coprime with n — a
+    lattice whose prefixes cover 0..n-1 near-uniformly (trace-time)."""
+    import math as _math
+
+    m = max(1, int(round(n * 0.6180339887)))
+    while _math.gcd(m, n) != 1:
+        m += 1
+    return m
+
+
 def _smean(q, ctx):
     """Batch mean of a pointwise [B, 1] quantity, honouring the runtime
     batch-size mask when the sweep evaluator installs one in ``ctx``
@@ -315,13 +326,27 @@ class AdvectionSpec:
         x = self.p.x_max * u[:, :1]
         if getattr(self.p, "causal_eps", 0.0) > 0.0:
             # Stratified t over [0, t_max] from the SAME uniform draw (one
-            # point per equal slice — the scan sampler's layout; rows stay
-            # unordered only across restarts, which the comparison-mask
-            # cumsum does not care about). Integer iota cast to float:
-            # Mosaic rejects float-typed tpu.iota.
+            # point per equal slice — the scan sampler's layout). The
+            # strata are assigned to rows by a STRIDE PERMUTATION
+            # (i·m mod n, gcd(m, n)=1): the causal comparison-mask cumsum
+            # is permutation-invariant, but the sweep evaluators mask
+            # trials to a row PREFIX — a time-ascending layout would
+            # train masked trials only on the earliest fraction of the
+            # domain (the scan sampler shuffles rows for the same
+            # reason); the lattice prefix covers [0, t_max] near-
+            # uniformly at every prefix length. Integer iota cast to
+            # float: Mosaic rejects float-typed tpu.iota.
             n = u.shape[0]
+            m = _coprime_stride(n)
             idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-            t = (idx.astype(u.dtype) + u[:, 1:2]) * (self.p.t_max / n)
+            # i·m mod n in float (Mosaic rejects vector integer rem):
+            # products stay < 2^24 so prod and q·n are exact in fp32, and
+            # the nearest i·m/n ever gets to a wrong integer is 1/n —
+            # orders of magnitude above fp32 rounding at these sizes.
+            prod = idx.astype(u.dtype) * float(m)
+            q = jnp.floor(prod * (1.0 / n))
+            stratum = prod - q * float(n)
+            t = (stratum + u[:, 1:2]) * (self.p.t_max / n)
         else:
             t = self.p.t_max * u[:, 1:2]
         zero = jnp.zeros_like(x)
@@ -1049,6 +1074,41 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
     return eval_fn
 
 
+def _sweep_prologue(problem, key, max_iters, max_batch, model, precision,
+                    schedule):
+    """Shared validation + key/stream derivation for the runtime-gated
+    sweep evaluators. The sequential (:func:`make_sweep_evaluator`) and
+    sharded (:func:`make_sharded_rung_evaluator`) evaluators BOTH route
+    through this so their documented bit-identical equivalence cannot
+    drift: same spec/model checks, same horizon padding (to a multiple
+    of 1000 — a prime/odd max_iters would force S=1 steps per grid
+    cell), same ``cached_split`` key split, same per-index uniform
+    stream. Returns (spec, model, schedule, user_max, padded_max,
+    init_key, uniforms)."""
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    if precision == "mixed":
+        raise ValueError("the sweep evaluator is single-phase (the mixed "
+                         "schedule's phase split is compile-time, the "
+                         "trial budget is runtime); use 'highest' or "
+                         "'default'")
+    user_max = max_iters
+    max_iters = -(-max_iters // 1000) * 1000
+    init_key, run_key = cached_split(key)
+    _draw_all = jax.jit(lambda k: jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
+                                     (max_batch, spec.n_uniform))
+    )(jnp.arange(max_iters)))
+    uniforms = cached_call(_draw_all, run_key, label="draw")
+    return spec, model, schedule, user_max, max_iters, init_key, uniforms
+
+
 def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                          steps_per_cell: int | None = None,
                          precision: str = "highest",
@@ -1067,37 +1127,9 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     same collocation stream. Decay schedules ("cosine"/"exponential")
     follow each trial's OWN n_iters horizon (runtime SMEM scalar), again
     matching a standalone run of that budget."""
-    spec = spec_for(problem)
-    if spec is None:
-        raise ValueError(f"no fused-engine spec for {problem.name!r}")
-    model = model or problem.default_model()
-    if not supports(problem, model):
-        raise ValueError("fused engine supports plain tanh MLPs only")
-    if schedule is None:
-        schedule = problem.defaults.schedule
-    if precision == "mixed":
-        raise ValueError("the sweep evaluator is single-phase (the mixed "
-                         "schedule's phase split is compile-time, the "
-                         "trial budget is runtime); use 'highest' or "
-                         "'default'")
-    # Decay schedules are supported: in runtime-masked mode the kernel
-    # reads the decay horizon from the trial's own n_steps SMEM scalar
-    # (engine_core.fused_adam_kernel), so a short trial sees the same
-    # full cosine/exponential curve a standalone run of its budget would.
-
-    # Pad the compiled horizon to a multiple of 1000: a prime/odd
-    # max_iters (e.g. the reference space's 49999) would force S=1 steps
-    # per grid cell. Trials still clamp to the caller's max_iters; the
-    # padding steps are masked off by the runtime n_steps gate.
-    user_max = max_iters
-    max_iters = -(-max_iters // 1000) * 1000
-
-    init_key, run_key = cached_split(key)
-    _draw_all = jax.jit(lambda k: jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
-                                     (max_batch, spec.n_uniform))
-    )(jnp.arange(max_iters)))
-    uniforms = cached_call(_draw_all, run_key, label="draw")
+    spec, model, schedule, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, max_batch, model,
+                        precision, schedule)
 
     def run(flat, m, v, u, lrate, bs, n_steps):
         return fused_engine_chunk(
@@ -1156,17 +1188,9 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     cached)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    spec = spec_for(problem)
-    if spec is None:
-        raise ValueError(f"no fused-engine spec for {problem.name!r}")
-    model = model or problem.default_model()
-    if not supports(problem, model):
-        raise ValueError("fused engine supports plain tanh MLPs only")
-    if schedule is None:
-        schedule = problem.defaults.schedule
-    if precision == "mixed":
-        raise ValueError("the sweep evaluator is single-phase; use "
-                         "'highest' or 'default'")
+    spec, model, schedule, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, max_batch, model,
+                        precision, schedule)
     pop_axis = "pop"
     if pop_axis not in mesh.shape:
         raise ValueError(
@@ -1174,16 +1198,6 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
             f"the given mesh has axes {tuple(mesh.axis_names)} — build it "
             f"with make_mesh({{'pop': N}})")
     n_shards = mesh.shape[pop_axis]
-
-    user_max = max_iters
-    max_iters = -(-max_iters // 1000) * 1000
-
-    init_key, run_key = cached_split(key)
-    _draw_all = jax.jit(lambda k: jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(k, i),
-                                     (max_batch, spec.n_uniform))
-    )(jnp.arange(max_iters)))
-    uniforms = cached_call(_draw_all, run_key, label="draw")
     # vmapped init over the same per-trial folded keys the sequential
     # evaluator uses — identical values, one batched program.
     _init_all = jax.jit(lambda ts: jax.vmap(
@@ -1225,7 +1239,8 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
         flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
                      for t in flat)
         lrs = jnp.asarray(lrates, jnp.float32)
-        bss = jnp.minimum(jnp.asarray(batch_sizes, jnp.int32), max_batch)
+        # Same clamps as the sequential evaluator (max(1, min(bs, max))).
+        bss = jnp.clip(jnp.asarray(batch_sizes, jnp.int32), 1, max_batch)
         ns = jnp.clip(jnp.asarray(n_iters, jnp.int32), 1, user_max)
         flat_out, finals = sharded(flat, lrs, bss, ns, uniforms)
         return np.asarray(finals), flat_out

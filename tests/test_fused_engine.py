@@ -287,7 +287,11 @@ def test_advection_causal_spec_matches_scan_loss(key):
     loss_e, grads_e = fe.engine_step_math(spec, flat, u, B, model.num_layers)
 
     x = prob.x_max * u[:, :1]
-    t = (jnp.arange(B, dtype=u.dtype)[:, None] + u[:, 1:2]) * (prob.t_max / B)
+    # Mirror the spec's stride-permuted stratified layout (the causal loss
+    # is permutation-invariant, so the scan loss sees the same points).
+    m = fe._coprime_stride(B)
+    idx = (jnp.arange(B)[:, None] * m) % B
+    t = (idx.astype(u.dtype) + u[:, 1:2]) * (prob.t_max / B)
     z = jnp.zeros((B, 1))
     batch = {"xt": jnp.concatenate([x, t], 1),
              "x0": jnp.concatenate([x, z], 1),
@@ -298,3 +302,18 @@ def test_advection_causal_spec_matches_scan_loss(key):
     for ge, gr in zip(grads_e, pack_params(model, grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_advection_causal_stride_prefix_covers_domain():
+    """The causal spec's stride-permuted strata must cover [0, t_max]
+    near-uniformly at ANY prefix length — the sweep evaluators mask
+    trials to a row prefix, and a time-ascending layout would train a
+    batch-64-of-512 trial only on the earliest 1/8 of the domain."""
+    n, bs = 512, 64
+    m = fe._coprime_stride(n)
+    strata = (np.arange(bs) * m) % n
+    assert strata.max() > 0.9 * n
+    assert strata.min() < 0.1 * n
+    # Quartile occupancy: every quarter of the domain is represented.
+    hist, _ = np.histogram(strata, bins=4, range=(0, n))
+    assert (hist > 0).all()

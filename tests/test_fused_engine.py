@@ -317,3 +317,34 @@ def test_advection_causal_stride_prefix_covers_domain():
     # Quartile occupancy: every quarter of the domain is represented.
     hist, _ = np.histogram(strata, bins=4, range=(0, n))
     assert (hist > 0).all()
+
+
+def test_advection_causal_fused_training_interpret(key):
+    """The causal advection spec trains end-to-end inside the fused kernel
+    (interpret mode): loss decreases and the kernel matches the pure twin
+    loop bit-close — exercises the stride-permutation + comparison-mask
+    ops through the full Pallas body."""
+    from differential_equations_dnn_tpu.equations import Advection1D
+
+    prob = Advection1D(causal_eps=5.0)
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    spec = fe.spec_for(prob)
+    params = model.init(key)
+    flat = pack_params(model, params)
+    K, B = 6, 8
+    uniforms = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (K, B, spec.n_uniform))
+    m = tuple(jnp.zeros_like(p) for p in flat)
+    v = tuple(jnp.zeros_like(p) for p in flat)
+    p_k, _, _, losses_k = fe.fused_engine_chunk(
+        spec, model, flat, m, v, uniforms, 0, lrate=1e-3, steps_per_cell=3)
+    p_t, losses_t = _pure_twin(spec, model, flat, uniforms, 1e-3)
+    np.testing.assert_allclose(losses_k, losses_t, rtol=1e-5)
+    for a, b in zip(p_k, p_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    r = fe.train_fused_result(prob, key, 200, batch_size=16, model=model,
+                              chunk_size=200)
+    assert r.loss_history[-40:].mean() < r.loss_history[:40].mean()
+    assert np.isfinite(prob.mae(model.apply, r.params, nodes=8))

@@ -1,93 +1,152 @@
 """Headline benchmark: heat-equation training throughput on one TPU chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints JSON lines of the driver schema
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": ...}
+PROGRESSIVELY: a (degraded) line is emitted the moment the process starts,
+replaced by a provisional headline as soon as ANY throughput is measured,
+then by the full headline, then re-emitted enriched after every completed
+extras section. The driver records the LAST parseable line (verified against
+BENCH_r02.json's capture format), so a mid-run environment stall — the axon
+tunnel's documented 200-460 s compile transients and multi-minute dispatch
+stalls, which made BENCH_r03 rc=124/parsed=null — can only cost the
+not-yet-measured extras, never the headline. Three layers of protection:
+
+* every line is emitted immediately (stdout flush + ``bench_last.json``);
+* each extras section has a wall-clock budget and is skipped (recorded as
+  ``"<section>_skipped": "budget"``) when the remaining global budget cannot
+  cover it;
+* a watchdog THREAD (survives a main thread hung inside a blocking device
+  call, which Python signal handlers do not) re-emits the best-known line
+  and hard-exits just before the global budget ``BENCH_BUDGET_S`` expires.
 
 Metric: training throughput (iters/sec, steady-state, compile excluded) for
 the reference heat configuration — MLP 2→128×3→1, batch 64, lr 1e-4
-(heat.py:176-184) — with the solution MAE vs sin(x)e^{-t} reported alongside
-to prove the speed is of a *converging* configuration.
+(reference heat.py:176-184) — with the solution MAE vs sin(x)e^{-t} reported
+alongside to prove the speed is of a *converging* configuration.
 
-Headline path (round 2): the fully-fused Pallas training kernel
+Headline path: the fully-fused Pallas training kernel
 (kernels/fused_train.py) with the ``precision="mixed"`` schedule — the
 ENTIRE Adam loop runs inside one Mosaic dispatch, the first 65% of steps on
-the bf16 MXU path (fp32 accumulate) and the final 35% at exact fp32, which
-recovers full-fp32 accuracy at near-bf16 throughput. Measured 91-95k iters/s
-with MAE 0.0003 at the reference budget vs 63-66k (exact-fp32 kernel) and
-28.6k (XLA-scan trainer) on the same chip/day. Both comparison numbers are
-reported in extras, along with an MXU calibration matmul (device-health
-anchor: the axon chip's throughput varies ~2x day-to-day; the calibration
-pins what the silicon did during THIS measurement) and a FLOP-level
-utilisation estimate.
+the bf16 MXU path (fp32 accumulate) and the final 35% at exact fp32.
 
 Baseline: the reference implementation (torch, heat.py:minimize_loss_dgm)
 measured on this image's CPU at the same config: 203.0 iters/sec
-(500-iteration timed run after 50-iteration warmup, 2026-08-16; the reference
-publishes no throughput numbers — SURVEY §6). The reference paper's hardware
-was an RTX 3060 workstation; no GPU is available here to re-measure.
+(500-iteration timed run after 50-iteration warmup, 2026-08-16; the
+reference publishes no throughput numbers — SURVEY §6). The reference
+paper's hardware was an RTX 3060 workstation; no GPU is available here.
+
+Env knobs: BENCH_BUDGET_S (global watchdog, default 1500), BENCH_SKIP
+(comma-separated section names), BENCH_ITERS (headline budget override),
+BENCH_HEADLINE_SAMPLES (default 3), BENCH_STALL=<section> (test hook: that
+section hangs forever, proving the watchdog still emits a line).
 """
 
 import json
 import math
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+SKIP = {s for s in os.environ.get("BENCH_SKIP", "").split(",") if s}
+STALL = os.environ.get("BENCH_STALL", "")
+ITERATIONS = int(os.environ.get("BENCH_ITERS", "15000"))
+SAMPLES = int(os.environ.get("BENCH_HEADLINE_SAMPLES", "3"))
+BATCH = 64
 
 REFERENCE_CPU_ITERS_PER_SEC = 203.0  # measured: see module docstring
 REFERENCE_HEAT_MAE = 0.0529          # primer PDF / BASELINE.md
-ITERATIONS = 15_000                  # reference budget (heat.py:176)
-BATCH = 64
+
+_lock = threading.Lock()
+_extras: dict = {"iterations": ITERATIONS, "batch_size": BATCH,
+                 "baseline": "reference torch CPU minimize_loss_dgm, "
+                             "same config"}
+_state: dict = {
+    "metric": "heat_train_iters_per_sec",
+    "value": 0.0,
+    "unit": "iters/s",
+    "vs_baseline": 0.0,
+    "extras": _extras,
+}
+_extras["incomplete"] = "startup"  # cleared once the full headline lands
 
 
-def matmul_calibration():
-    """Pin the chip's MXU throughput during this measurement (device-health
-    anchor): sustained TFLOP/s on a chain of 4096^3 matmuls."""
-    out = {}
-    n, reps = 4096, 8
-    for dtype, name in [(jnp.bfloat16, "bf16"), (jnp.float32, "fp32")]:
-        a = (jax.random.normal(jax.random.key(0), (n, n)) / math.sqrt(n)).astype(dtype)
-        b = (jax.random.normal(jax.random.key(1), (n, n)) / math.sqrt(n)).astype(dtype)
-
-        @jax.jit
-        def chain(a, b):
-            def body(c, _):
-                return jnp.dot(c, b, preferred_element_type=dtype), None
-            c, _ = jax.lax.scan(body, a, None, length=reps)
-            return c
-
-        float(jnp.ravel(chain(a, b))[0])  # compile + run
-        best = math.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.ravel(chain(a, b))[0])
-            best = min(best, time.perf_counter() - t0)
-        out[f"calibration_matmul_{name}_tflops"] = round(
-            2 * n**3 * reps / best / 1e12, 1)
-    return out
+def emit() -> None:
+    """Print the current state as one JSON line (the driver keeps the LAST
+    parseable line) and mirror it to bench_last.json."""
+    with _lock:
+        line = json.dumps(_state)
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+    try:
+        (Path(__file__).resolve().parent / "bench_last.json").write_text(
+            line + "\n")
+    except OSError:
+        pass
 
 
-def step_flops(model, batch):
-    """Exact MXU FLOPs per fused training step (fwd 7-stream + hand VJP)."""
-    H, L, D = model.hidden_size, model.num_layers, model.input_dim
-    rows = 7 * batch
-    fwd = rows * (D * H + L * H * H + H * model.output_dim)
-    bwd = rows * (H * model.output_dim * 2 + L * H * H * 2 + D * H)
-    return 2 * (fwd + bwd)
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
-def warmup_compiler():
-    """Absorb the remote compile helper's cold-start cost (observed: the
-    FIRST compile of a fresh process over the axon tunnel occasionally takes
-    200-320 s — libtpu dlopen + helper init — while the same program
-    recompiles in 2-6 s). A throwaway Pallas compile here keeps that
-    transient out of the measured compile_time."""
+def _watchdog() -> None:
+    while True:
+        r = remaining()
+        if r <= 0:
+            break
+        time.sleep(min(r, 5.0))
+    with _lock:
+        _extras["watchdog_fired_at_s"] = round(time.time() - T0, 1)
+    emit()
+    os._exit(0)  # the main thread may be hung inside a device call
+
+
+def set_headline(value: float, **extra) -> None:
+    with _lock:
+        _state["value"] = round(value, 1)
+        _state["vs_baseline"] = round(value / REFERENCE_CPU_ITERS_PER_SEC, 2)
+        _extras.update(extra)
+    emit()
+
+
+def section(name: str, budget_s: float, fn) -> None:
+    """Run one extras section under the global budget. A section that cannot
+    fit in the remaining budget is skipped and recorded, not risked."""
+    if name in SKIP:
+        _extras[f"{name}_skipped"] = "env"
+        return
+    if remaining() < budget_s:
+        _extras[f"{name}_skipped"] = "budget"
+        emit()
+        return
+    t = time.time()
+    try:
+        if STALL == name:  # test hook: simulate a hung device call
+            time.sleep(10 ** 9)
+        fn()
+    except Exception as e:  # noqa: BLE001 — bench must always keep emitting
+        _extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+    _extras[f"{name}_s"] = round(time.time() - t, 1)
+    emit()
+
+
+# --------------------------------------------------------------------------
+# Sections (each assumes jax is importable; imports stay inside so a broken
+# optional dependency degrades one section, not the run).
+# --------------------------------------------------------------------------
+
+def warmup_compiler() -> float:
+    """Absorb the remote compile helper's cold-start cost (the FIRST compile
+    of a fresh process over the axon tunnel occasionally takes 200-460 s;
+    the same program recompiles in 2-6 s). A throwaway Pallas compile keeps
+    that transient out of the measured compile_time."""
+    import jax
+    import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -105,6 +164,15 @@ def warmup_compiler():
     return round(time.perf_counter() - t0, 1)
 
 
+def step_flops(model, batch: int) -> int:
+    """Exact MXU FLOPs per fused training step (fwd 7-stream + hand VJP)."""
+    H, L, D = model.hidden_size, model.num_layers, model.input_dim
+    rows = 7 * batch
+    fwd = rows * (D * H + L * H * H + H * model.output_dim)
+    bwd = rows * (H * model.output_dim * 2 + L * H * H * 2 + D * H)
+    return 2 * (fwd + bwd)
+
+
 # Nominal per-chip MXU peaks (public spec sheets) — the honest denominator
 # for utilisation, alongside the same-day calibration anchor. fp32 has no
 # published MXU figure (the MXU is bf16-native; fp32 runs as multi-pass).
@@ -116,12 +184,14 @@ NOMINAL_BF16_TFLOPS = {
 }
 
 
-def warm_probe():
+def warm_probe() -> None:
     """Subprocess body (``bench.py --warm-probe``): a fresh process running
     the headline solve path through the AOT executable cache. Prints one
-    JSON line with the time from process start to kernel-ready (compile
-    resolved, first dispatch issued)."""
-    t0 = float(__import__("os").environ.get("BENCH_T0", time.time()))
+    JSON line with the time from process start to kernel-ready."""
+    t0 = float(os.environ.get("BENCH_T0", time.time()))
+    _apply_platform()
+    import jax
+
     from differential_equations_dnn_tpu.equations import Heat1D
     from differential_equations_dnn_tpu.kernels import aot_cache
     from differential_equations_dnn_tpu.kernels.fused_train import (
@@ -143,30 +213,190 @@ def warm_probe():
     }))
 
 
-def measure_warm_process():
+def run_probe() -> None:
     """Fork a fresh interpreter and measure its time-to-kernel-ready with
-    the AOT executable cache populated (VERDICT r2 item 2)."""
-    import os
+    the AOT executable cache populated (VERDICT r2 item 2). Runs FIRST —
+    before this process touches the single-client device (a later probe
+    measures the subprocess WAITING for the parent: observed 492 s "setup"
+    of which 2.6 s was real) — but under a hard subprocess timeout, so a
+    tunnel stall costs one bounded section, never the run (VERDICT r3 #1)."""
     import subprocess
 
     env = dict(os.environ, BENCH_T0=repr(time.time()))
+    budget = max(30.0, min(420.0, remaining() - 120.0))
     try:
         out = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()), "--warm-probe"],
-            capture_output=True, text=True, timeout=900, env=env,
+            capture_output=True, text=True, timeout=budget, env=env,
             cwd=str(Path(__file__).resolve().parent))
         for line in out.stdout.splitlines()[::-1]:
             if line.startswith("{"):
-                return json.loads(line)
-    except Exception:
-        pass
-    return None
+                probe = json.loads(line)
+                _extras["warm_process_setup_s"] = probe["setup_s"]
+                _extras["warm_process_detail"] = probe
+                return
+        _extras["probe_error"] = (out.stderr or "no JSON line")[-300:]
+    except subprocess.TimeoutExpired:
+        _extras["probe_error"] = f"timeout after {budget:.0f}s (tunnel stall)"
 
 
-def sweep_throughput():
-    """The north star's second metric: sweep trials/min per chip, on both
-    sweep engines (VERDICT r2 weak #6). Configs are fixed and reported so
-    the numbers regression-track."""
+def run_headline() -> tuple[float, object, object]:
+    """The headline measurement. Emits a provisional line after the FIRST
+    short run, then the real line after each full-budget sample — a stall
+    in any later sample can no longer null the round's number."""
+    import jax
+
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.kernels.fused_train import (
+        train_heat_fused_result,
+    )
+
+    _extras["compiler_warmup_s"] = warmup_compiler()
+    emit()
+    problem = Heat1D(taps="taylor")
+    model = problem.default_model()
+    common = dict(batch_size=BATCH, lrate=1e-4, precision="mixed",
+                  mixed_split=0.65)
+
+    # Provisional: a short-budget run (own executable, usually an AOT cache
+    # hit) so SOME real throughput exists before the 15k-budget compile.
+    if ITERATIONS > 2000 and "provisional" not in SKIP:
+        p = train_heat_fused_result(problem, jax.random.key(0), 2000,
+                                    chunk_size=2000, **common)
+        set_headline(p.iters_per_sec, provisional="2000-iteration sample",
+                     incomplete="headline pending")
+
+    # Seed 0 = the framework's default (solve()/CLI); per-step-keyed
+    # collocation streams make MAE seed-dependent within [0.0003, 0.008]
+    # at this budget — the default seed lands at ~0.0003.
+    runs = []
+    value = 0.0
+    for i in range(max(1, SAMPLES)):
+        r = train_heat_fused_result(
+            problem, jax.random.key(0), ITERATIONS, chunk_size=ITERATIONS,
+            params=runs[0].params if runs else None, **common)
+        runs.append(r)
+        value = max(value, r.iters_per_sec)
+        mae = _extras.get("mae_vs_exact")
+        if i == 0:
+            mae = float(problem.mae(model.apply, r.params, nodes=40))
+        with _lock:
+            _extras.pop("provisional", None)
+            _extras.pop("incomplete", None)
+        flops = step_flops(model, BATCH)
+        set_headline(
+            value,
+            mae_vs_exact=round(mae, 6),
+            reference_mae=REFERENCE_HEAT_MAE,
+            mae_vs_reference_ratio=round(mae / REFERENCE_HEAT_MAE, 4),
+            final_loss=round(float(runs[0].loss_history[-1]), 8),
+            engine="fused_pallas_kernel (mixed schedule: bf16 coarse phase "
+                   "+ exact-fp32 final phase, one dispatch)",
+            # The axon compile helper stalls for minutes at random (the SAME
+            # program compiles in ~4-6 s clean); program cost = the min.
+            compile_time_s=round(min(r.compile_time for r in runs), 1),
+            compile_time_samples_s=[round(r.compile_time, 1) for r in runs],
+            iters_per_sec_samples=[round(r.iters_per_sec, 1) for r in runs],
+            wall_time_s=round(runs[0].wall_time, 2),
+            us_per_step=round(1e6 / value, 2),
+            step_flops_mxu=flops,
+            achieved_matmul_tflops=round(flops * value / 1e12, 2),
+            device=str(jax.devices()[0]),
+        )
+    return value, runs[0], problem
+
+
+def run_fp32(problem, params) -> None:
+    """Comparison: the exact-fp32 kernel (solve()'s default fused mode)."""
+    import jax
+
+    from differential_equations_dnn_tpu.kernels.fused_train import (
+        train_heat_fused_result,
+    )
+
+    f1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
+                                 batch_size=BATCH, lrate=1e-4,
+                                 chunk_size=ITERATIONS, params=params)
+    _extras["fp32_kernel_iters_per_sec"] = round(f1.iters_per_sec, 1)
+
+
+def run_scan(problem, value: float) -> None:
+    """Comparison: the generic XLA-scan trainer on the same chip."""
+    import jax
+
+    from differential_equations_dnn_tpu.train import TrainConfig, train
+
+    cfg = TrainConfig(iterations=5000, batch_size=BATCH, lrate=1e-4,
+                      chunk_size=5000, verbose=False, snapshot_every=0)
+    s1 = train(problem, jax.random.key(0), cfg)
+    s2 = train(problem, jax.random.key(0), cfg, params=s1.params)
+    scan_ips = max(s1.iters_per_sec, s2.iters_per_sec)
+    _extras["scan_trainer_iters_per_sec"] = round(scan_ips, 1)
+    _extras["scan_compile_time_s"] = round(s1.compile_time, 1)
+    _extras["kernel_vs_scan_speedup"] = round(value / scan_ips, 2)
+
+
+def run_lbfgs(problem, params) -> None:
+    """Accuracy headroom: 200 full-batch L-BFGS polish steps."""
+    import jax
+
+    from differential_equations_dnn_tpu.train import finetune_lbfgs
+
+    model = problem.default_model()
+    ft_params, _ = finetune_lbfgs(problem, params, jax.random.key(7),
+                                  steps=200, model=model)
+    _extras["mae_finetuned_lbfgs200"] = round(
+        float(problem.mae(model.apply, ft_params, nodes=40)), 7)
+
+
+def run_calibration() -> None:
+    """Pin the chip's MXU throughput during this measurement (device-health
+    anchor): sustained TFLOP/s on a chain of 4096^3 matmuls, then the
+    utilisation ratios against the same-day anchor and the nominal peak."""
+    import jax
+    import jax.numpy as jnp
+
+    n, reps = 4096, 8
+    for dtype, name in [(jnp.bfloat16, "bf16"), (jnp.float32, "fp32")]:
+        a = (jax.random.normal(jax.random.key(0), (n, n))
+             / math.sqrt(n)).astype(dtype)
+        b = (jax.random.normal(jax.random.key(1), (n, n))
+             / math.sqrt(n)).astype(dtype)
+
+        @jax.jit
+        def chain(a, b, dtype=dtype):
+            def body(c, _):
+                return jnp.dot(c, b, preferred_element_type=dtype), None
+            c, _ = jax.lax.scan(body, a, None, length=reps)
+            return c
+
+        float(jnp.ravel(chain(a, b))[0])  # compile + run
+        best = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.ravel(chain(a, b))[0])
+            best = min(best, time.perf_counter() - t0)
+        _extras[f"calibration_matmul_{name}_tflops"] = round(
+            2 * n ** 3 * reps / best / 1e12, 1)
+    achieved = _extras.get("achieved_matmul_tflops")
+    fp32_peak = _extras.get("calibration_matmul_fp32_tflops")
+    if achieved and fp32_peak:
+        _extras["mxu_utilisation_vs_calibration"] = round(
+            achieved / fp32_peak, 3)
+    kind = str(getattr(jax.devices()[0], "device_kind", ""))
+    nominal = next((v for k, v in NOMINAL_BF16_TFLOPS.items()
+                    if k in kind or kind in k), None)
+    if achieved and nominal:
+        _extras["nominal_bf16_tflops"] = nominal
+        _extras["mxu_utilisation_vs_peak"] = round(achieved / nominal, 4)
+
+
+def run_sweep() -> None:
+    """North-star metric #2: sweep trials/min per chip, on both sweep
+    engines. Configs are fixed and reported so the numbers regression-track."""
+    import jax
+    import jax.numpy as jnp
+
     from differential_equations_dnn_tpu.equations import Heat1D
     from differential_equations_dnn_tpu.kernels.fused_engine import (
         make_lr_evaluator,
@@ -177,7 +407,6 @@ def sweep_throughput():
     )
 
     problem = Heat1D(taps="jvp")
-    out = {}
     # Vmapped population: 16 concurrent trials × 2000 iters, batch 64.
     timings = {}
     lrs = jnp.full((16,), 1e-4)
@@ -188,9 +417,10 @@ def sweep_throughput():
                      timings=timings)
     run = timings.get("run_time", 0.0)
     if run:
-        out["sweep_trials_per_min"] = round(16 * 60.0 / run, 1)
-    out["sweep_trials_config"] = "population 16 x 2000 iters, batch 64"
-    # Fused evaluator: FULL 15k-iteration trials through one executable.
+        _extras["sweep_trials_per_min"] = round(16 * 60.0 / run, 1)
+    _extras["sweep_trials_config"] = "population 16 x 2000 iters, batch 64"
+    emit()
+    # Fused evaluator: FULL headline-budget trials through one executable.
     ev = make_lr_evaluator(problem, jax.random.key(0), ITERATIONS,
                            batch_size=BATCH)
     ev(0, 1e-4)  # first dispatch
@@ -199,143 +429,86 @@ def sweep_throughput():
     for t in range(n):
         ev(t + 1, 10.0 ** (-4 + 0.1 * t))
     dt = time.perf_counter() - t0
-    out["fused_full_budget_trials_per_min"] = round(n * 60.0 / dt, 1)
-    out["fused_trials_config"] = (
+    _extras["fused_full_budget_trials_per_min"] = round(n * 60.0 / dt, 1)
+    _extras["fused_trials_config"] = (
         f"lr evaluator, {ITERATIONS} iters x batch {BATCH} per trial")
-    return out
 
 
-def main():
-    from differential_equations_dnn_tpu.equations import Heat1D
-    from differential_equations_dnn_tpu.kernels.fused_train import (
-        train_heat_fused_result,
-    )
-    from differential_equations_dnn_tpu.train import (
-        TrainConfig,
-        finetune_lbfgs,
-        train,
-    )
+# Per-equation regression tier (VERDICT r3 #8): one {mae, iters/s} record
+# per equation at its DEPLOYMENT defaults, fused engine where supported.
+EQUATION_TIER = [
+    ("simple_ode", "fused"),
+    ("wave", "fused"),
+    ("poisson", "fused"),
+    ("heat2d", "fused"),
+    ("burgers", "fused"),
+    ("volterra", "fused"),
+    ("advection", "fused"),
+    ("fredholm", "fused"),
+    ("fitzhugh_nagumo", "fused"),
+    ("uat", "scan"),
+    ("inverse_heat", "scan"),
+]
 
-    # Warm-process probe FIRST — before this process touches the device:
-    # the TPU is single-client, so probing later would measure the
-    # subprocess WAITING for the parent, not its own setup (observed:
-    # 492 s "setup" of which 2.6 s was real).
-    probe = measure_warm_process()
 
-    warmup_s = warmup_compiler()
-    problem = Heat1D(taps="taylor")
-    model = problem.default_model()
+def run_equations() -> None:
+    """One compact {mae, iters_per_sec} line per equation so regression
+    tracking covers the zoo, not one PDE. Each equation gets its own
+    remaining-budget check; a stall mid-tier keeps the completed entries."""
+    from differential_equations_dnn_tpu import solve
 
-    # ---- headline: fused Pallas kernel (mixed-precision schedule), full
-    # reference budget. Two measured runs, best-of reported — the axon
-    # tunnel's device state varies run-to-run.
-    # Seed 0 = the framework's default (solve()/CLI); per-step-keyed
-    # collocation streams make MAE seed-dependent within [0.0003, 0.008]
-    # at this budget — the default seed lands at ~0.0003.
-    r1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
-                                 batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS, precision="mixed",
-                                 mixed_split=0.65)
-    r2 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
-                                 batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS, precision="mixed",
-                                 mixed_split=0.65, params=r1.params)
-    # Third sample: the tunnel's mid-run stalls can hit ANY dispatch (a
-    # losses pull was measured taking minutes); best-of-3 pins the
-    # steady-state number on a flaky day.
-    r3 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
-                                 batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS, precision="mixed",
-                                 mixed_split=0.65, params=r1.params)
-    mae = problem.mae(model.apply, r1.params, nodes=40)
-    value = max(r1.iters_per_sec, r2.iters_per_sec, r3.iters_per_sec)
+    tier: dict = {}
+    _extras["equation_tier"] = tier
+    for name, engine in EQUATION_TIER:
+        if remaining() < 75.0:
+            tier[name] = {"skipped": "budget"}
+            continue
+        t0 = time.time()
+        try:
+            r = solve(name, engine=engine, ensemble=0, finetune=0)
+            tier[name] = {"mae": round(float(r.mae), 6),
+                          "iters_per_sec": round(r.iters_per_sec, 1),
+                          "engine": engine,
+                          "wall_s": round(r.wall_time, 2)}
+        except Exception as e:  # noqa: BLE001
+            tier[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        tier[name]["total_s"] = round(time.time() - t0, 1)
+        emit()
 
-    # ---- comparison: the exact-fp32 kernel (solve()'s default mode) ------
-    f1 = train_heat_fused_result(problem, jax.random.key(0), ITERATIONS,
-                                 batch_size=BATCH, lrate=1e-4,
-                                 chunk_size=ITERATIONS, params=r1.params)
 
-    # ---- comparison: the generic XLA-scan trainer on the same chip -------
-    scan_cfg = TrainConfig(iterations=5000, batch_size=BATCH, lrate=1e-4,
-                           chunk_size=5000, verbose=False, snapshot_every=0)
-    s1 = train(problem, jax.random.key(0), scan_cfg)
-    s2 = train(problem, jax.random.key(0), scan_cfg, params=s1.params)
-    scan_ips = max(s1.iters_per_sec, s2.iters_per_sec)
+def _apply_platform() -> None:
+    """BENCH_PLATFORM=cpu runs the bench on the CPU backend (tests). The
+    axon sitecustomize overrides JAX_PLATFORMS env vars, so this must go
+    through jax.config (same reason as tests/conftest.py)."""
+    platform = os.environ.get("BENCH_PLATFORM")
+    if platform:
+        import jax
 
-    # ---- accuracy headroom: 200 full-batch L-BFGS polish steps -----------
-    ft_params, _ = finetune_lbfgs(problem, r1.params, jax.random.key(7),
-                                  steps=200, model=model)
-    mae_ft = problem.mae(model.apply, ft_params, nodes=40)
+        jax.config.update("jax_platforms", platform)
 
-    flops = step_flops(model, BATCH)
-    extras = {
-        "mae_vs_exact": round(mae, 6),
-        "mae_finetuned_lbfgs200": round(mae_ft, 7),
-        "reference_mae": REFERENCE_HEAT_MAE,
-        "mae_vs_reference_ratio": round(mae / REFERENCE_HEAT_MAE, 4),
-        "final_loss": round(float(r1.loss_history[-1]), 8),
-        "engine": "fused_pallas_kernel (mixed schedule: bf16 coarse phase + "
-                  "exact-fp32 final phase, one dispatch)",
-        "fp32_kernel_iters_per_sec": round(f1.iters_per_sec, 1),
-        # The axon remote compile helper stalls for minutes at random (the
-        # SAME program compiles in ~4-6 s on a clean attempt — measured
-        # 5.8/4.7 s vs 195/458 s transients). Both samples reported;
-        # program compile cost = the min.
-        "compile_time_s": round(min(r1.compile_time, r2.compile_time,
-                                    r3.compile_time), 1),
-        "compile_time_samples_s": [round(r1.compile_time, 1),
-                                   round(r2.compile_time, 1),
-                                   round(r3.compile_time, 1)],
-        "iters_per_sec_samples": [round(r1.iters_per_sec, 1),
-                                  round(r2.iters_per_sec, 1),
-                                  round(r3.iters_per_sec, 1)],
-        "compiler_warmup_s": warmup_s,
-        "wall_time_s": round(r1.wall_time, 2),
-        "us_per_step": round(1e6 / value, 2),
-        "step_flops_mxu": flops,
-        "achieved_matmul_tflops": round(flops * value / 1e12, 2),
-        "scan_trainer_iters_per_sec": round(scan_ips, 1),
-        "scan_compile_time_s": round(s1.compile_time, 1),
-        "kernel_vs_scan_speedup": round(value / scan_ips, 2),
-        "iterations": ITERATIONS,
-        "batch_size": BATCH,
-        "device": str(jax.devices()[0]),
-        "baseline": "reference torch CPU minimize_loss_dgm, same config",
-    }
-    extras.update(matmul_calibration())
-    fp32_peak = extras.get("calibration_matmul_fp32_tflops")
-    if fp32_peak:
-        extras["mxu_utilisation_vs_calibration"] = round(
-            extras["achieved_matmul_tflops"] / fp32_peak, 3)
-    # Utilisation against the chip's NOMINAL bf16 peak (honest headroom —
-    # the calibration anchor above only pins same-day silicon health).
-    kind = getattr(jax.devices()[0], "device_kind", "")
-    nominal = next((v for k, v in NOMINAL_BF16_TFLOPS.items()
-                    if k in str(kind) or str(kind) in k), None)
-    if nominal:
-        extras["nominal_bf16_tflops"] = nominal
-        extras["mxu_utilisation_vs_peak"] = round(
-            extras["achieved_matmul_tflops"] / nominal, 4)
 
-    # Sweep throughput (north-star metric #2) + warm-process setup (AOT
-    # executable cache, VERDICT r2 item 2).
-    try:
-        extras.update(sweep_throughput())
-    except Exception as e:  # pragma: no cover — bench must always print
-        extras["sweep_throughput_error"] = f"{type(e).__name__}: {e}"[:200]
-    if probe:
-        extras["warm_process_setup_s"] = probe["setup_s"]
-        extras["warm_process_detail"] = probe
+def main() -> int:
+    emit()  # a parseable (degraded) line exists from second zero
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _apply_platform()
 
-    out = {
-        "metric": "heat_train_iters_per_sec",
-        "value": round(value, 1),
-        "unit": "iters/s",
-        "vs_baseline": round(value / REFERENCE_CPU_ITERS_PER_SEC, 2),
-        "extras": extras,
-    }
-    print(json.dumps(out))
-    return 0 if mae < REFERENCE_HEAT_MAE else 1
+    section("probe", 45.0, run_probe)
+
+    # The headline is NOT a skippable section — it is the point. A hang here
+    # is caught by the watchdog, which emits the provisional line.
+    if STALL == "headline":
+        time.sleep(10 ** 9)
+    value, r1, problem = run_headline()
+
+    section("fp32", 90.0, lambda: run_fp32(problem, r1.params))
+    section("scan", 120.0, lambda: run_scan(problem, value))
+    section("lbfgs", 90.0, lambda: run_lbfgs(problem, r1.params))
+    section("calibration", 60.0, run_calibration)
+    section("sweep", 180.0, run_sweep)
+    section("equations", 80.0, run_equations)
+
+    emit()
+    return 0 if _extras.get("mae_vs_exact", 1.0) < REFERENCE_HEAT_MAE else 1
 
 
 if __name__ == "__main__":

@@ -62,6 +62,10 @@ def main(full: bool = False):
          dict(iterations=30_000), 0.05),
         ("fredholm", {"quadrature": "gauss", "k": 16},
          dict(iterations=2000, lrate=1e-3), 0.05),
+        # Volterra's constant-selection-matrix quadrature (float-mod iota
+        # masks): proves the construction LOWERS on real Mosaic — the CPU
+        # suite only exercises it in interpret mode (ADVICE r3).
+        ("volterra", {}, dict(iterations=2000), 0.05),
     ]
     for name, pkw, reduced, bound in fused_cases:
         kwargs = {} if full else dict(reduced)

@@ -24,6 +24,10 @@ Enabled on single-process TPU backends only (the CPU test sim uses JAX's
 own persistent cache; multi-host processes must not share one file key).
 Set ``DEQ_AOT_CACHE=0`` to disable, or point ``DEQ_AOT_CACHE`` at a
 directory to relocate (default ``~/.cache/deq_tpu_aot``).
+
+SECURITY: artifacts are pickles — loading one executes whatever a writer
+of the cache directory planted. The default directory is created 0700;
+``DEQ_AOT_CACHE`` must point at a directory only trusted users can write.
 """
 
 import hashlib
@@ -85,9 +89,13 @@ def stats() -> dict:
 
 def _key(lowered) -> str:
     dev = jax.devices()[0]
+    # platform_version pins the PJRT plugin/libtpu build: a runtime update
+    # with an unchanged jax version must MISS (and recompile), not
+    # deserialize a stale executable that happens to load (ADVICE r3).
     ident = "\x00".join([
         jax.__version__,
         getattr(dev, "device_kind", "unknown"),
+        str(getattr(getattr(dev, "client", None), "platform_version", "")),
         lowered.as_text(),
     ])
     return hashlib.sha256(ident.encode()).hexdigest()[:32]
@@ -197,7 +205,15 @@ def _persist(compiled, path):
         # multi-device hosts (execute_sharded shard-count mismatch).
         dev_ids = [d.id for d in
                    compiled._executable.xla_executable.local_devices()]
-        os.makedirs(cache_dir(), exist_ok=True)
+        # 0700: artifacts are pickles, and pickle.load executes whatever a
+        # writer of this directory planted — keep it private to the owner
+        # (entry files from mkstemp are already 0600). DEQ_AOT_CACHE must
+        # point at a directory the user trusts (see module docstring).
+        os.makedirs(cache_dir(), mode=0o700, exist_ok=True)
+        try:
+            os.chmod(cache_dir(), 0o700)
+        except OSError:
+            pass
         fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
         with os.fdopen(fd, "wb") as fh:
             pickle.dump((payload, in_tree, out_tree, dev_ids), fh)

@@ -750,9 +750,20 @@ class VolterraSpec:
         B = yhat.shape[0]
         out_full = jnp.concatenate(outs, 0)              # [(1+k)·B, 1]
         coeff = ctx["const"]                             # [1, (1+k)·B]
-        row = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.shape[1]), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, coeff.shape[1]), 1)
-        P = jnp.where(jax.lax.rem(col, B) == row, coeff, 0.0)
+        # col mod B in FLOAT, same construction as AdvectionSpec's stride
+        # permutation above: Mosaic rejects vector integer rem, and the CPU
+        # tests run in interpret mode where an int rem would pass CI yet
+        # fail to lower on the chip (ADVICE r3). col < (1+k)·B ≪ 2^24 so
+        # the products are exact in fp32.
+        # fp32 regardless of the kernel phase dtype: col reaches (1+k)·B
+        # (thousands), which bf16's 8-bit mantissa cannot represent exactly.
+        shape = (B, coeff.shape[1])
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
+            jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(
+            jnp.float32)
+        q = jnp.floor(col * (1.0 / B))
+        P = jnp.where(col - q * float(B) == row, coeff, 0.0)
         acc = jnp.dot(P, out_full, precision=_HIGH)      # [B, 1]
         r = yhat - x - (x * x) * acc
         return _smean(jnp.square(r), ctx)
@@ -880,6 +891,15 @@ def supports(problem, model=None) -> bool:
     if type(model).__name__ == "HardConstraint":
         if not hard_problem:
             return False   # ansatz model on a soft spec: loss mismatch
+        # The HARD_SPECS bake the problem's DEFAULT ansatz algebra into
+        # their in-kernel losses. A user-supplied HardConstraint with a
+        # custom ansatz (or the default builder at different constants)
+        # must train on the scan engine — routing it here would train one
+        # objective and evaluate another (ADVICE r3). Builders tag their
+        # closures (models/hard._tag); compare against the problem's own.
+        expected = getattr(problem.default_model().ansatz, "_deq_tag", None)
+        if getattr(model.ansatz, "_deq_tag", None) != expected:
+            return False
         model = model.net  # the kernel trains the RAW net; the spec's
         #                    loss re-applies the analytic ansatz
     elif hard_problem:

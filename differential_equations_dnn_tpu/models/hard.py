@@ -83,6 +83,17 @@ class HardConstraint:
         return getattr(self.net, name)
 
 
+def _tag(ansatz: Callable, name: str, *params: float) -> Callable:
+    """Identity-tag a builder's closure with (builder name, numeric args).
+    kernels.fused_engine.HARD_SPECS hard-code the DEFAULT ansatz algebra
+    in their in-kernel losses; ``fused_engine.supports`` compares this tag
+    against the problem's own default so a custom ansatz (or the same
+    builder with different constants) falls back to the scan engine instead
+    of silently training the wrong objective (ADVICE r3)."""
+    ansatz._deq_tag = (name, *params)
+    return ansatz
+
+
 def time_ic_ansatz(y_ic: float, t_scale: float = 1.0):
     """1-D time problems with ``y(0) = y_ic``: y = y_ic + (t/t_scale)·N(t)
     (normalise by the domain length so the trial function's output scale
@@ -91,7 +102,7 @@ def time_ic_ansatz(y_ic: float, t_scale: float = 1.0):
     def ansatz(x, y_raw):
         return y_ic + (x[:, :1] / t_scale) * y_raw
 
-    return ansatz
+    return _tag(ansatz, "time_ic", y_ic, t_scale)
 
 
 def heat1d_ansatz(x_max: float, t_max: float = 1.0):
@@ -107,7 +118,7 @@ def heat1d_ansatz(x_max: float, t_max: float = 1.0):
         x, t = xt[:, :1], xt[:, 1:2]
         return jnp.sin(x) + (t * x * (x_max - x) / scale) * y_raw
 
-    return ansatz
+    return _tag(ansatz, "heat1d", x_max, t_max)
 
 
 def wave1d_ansatz(x_max: float, t_max: float = 1.0):
@@ -121,7 +132,7 @@ def wave1d_ansatz(x_max: float, t_max: float = 1.0):
         x, t = xt[:, :1], xt[:, 1:2]
         return jnp.sin(x) + (t * t * x * (x_max - x) / scale) * y_raw
 
-    return ansatz
+    return _tag(ansatz, "wave1d", x_max, t_max)
 
 
 def poisson_ansatz(x_max: float):
@@ -133,7 +144,7 @@ def poisson_ansatz(x_max: float):
         x, y = xy[:, :1], xy[:, 1:2]
         return (x * (x_max - x) * y * (x_max - y) / scale) * y_raw
 
-    return ansatz
+    return _tag(ansatz, "poisson", x_max)
 
 
 def heat2d_ansatz(x_max: float, t_max: float = 1.0):
@@ -147,4 +158,4 @@ def heat2d_ansatz(x_max: float, t_max: float = 1.0):
         return (jnp.sin(x) * jnp.sin(y)
                 + (t * x * (x_max - x) * y * (x_max - y) / scale) * y_raw)
 
-    return ansatz
+    return _tag(ansatz, "heat2d", x_max, t_max)

@@ -266,9 +266,9 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             wall_time = timings.get("run_time", 0.0)
             compile_time = timings.get("compile_time", 0.0)
             stacked_state = None
-        else:
-            # Single-chip fused ensemble: ONE AOT-compiled executable, one
-            # dispatch per replica (independent inits keyed by replica
+        elif route == "dgm":
+            # Single-chip fused DGM ensemble: ONE AOT-compiled executable,
+            # one dispatch per replica (independent inits keyed by replica
             # index, shared collocation stream) — kernel-speed multi-start
             # compiling in seconds where an N-wide vmapped program takes
             # minutes.
@@ -279,24 +279,11 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
             from differential_equations_dnn_tpu.kernels import fused_dgm
 
             t0 = _time.perf_counter()
-            if route == "dgm":
-                eval_fn = fused_dgm.make_trial_evaluator(
-                    problem, jax.random.key(seed), config.iterations,
-                    batch_size=config.batch_size, lrate=config.lrate,
-                    model=model, precision=precision,
-                    schedule=config.schedule)
-                unpack = fused_dgm.unpack_dgm
-            else:
-                from differential_equations_dnn_tpu.kernels import (
-                    fused_engine,
-                )
-
-                _ev = fused_engine.make_lr_evaluator(
-                    problem, jax.random.key(seed), config.iterations,
-                    batch_size=config.batch_size, model=model,
-                    precision=precision, schedule=config.schedule)
-                eval_fn = lambda t: _ev(t, config.lrate)
-                unpack = lambda fl: fused_engine.unpack_params(model, fl)
+            eval_fn = fused_dgm.make_trial_evaluator(
+                problem, jax.random.key(seed), config.iterations,
+                batch_size=config.batch_size, lrate=config.lrate,
+                model=model, precision=precision,
+                schedule=config.schedule)
             compile_time = _time.perf_counter() - t0
             t0 = _time.perf_counter()
             hists, outs = [], []
@@ -305,9 +292,31 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
                 hists.append(lo)
                 outs.append(flat)
             wall_time = _time.perf_counter() - t0
-            stacked = unpack(tuple(jnp.stack([o[k] for o in outs])
-                                   for k in range(len(outs[0]))))
+            stacked = fused_dgm.unpack_dgm(
+                tuple(jnp.stack([o[k] for o in outs])
+                      for k in range(len(outs[0]))))
             losses = np.stack(hists, axis=1)
+            stacked_state = None
+        else:
+            # Single-chip fused MLP-engine ensemble: ALL replicas PACKED
+            # into every kernel dispatch (replica-stacked state, unrolled
+            # per-step replica chains for the Mosaic scheduler to overlap)
+            # — one dispatch instead of N, and N independent MXU/VPU
+            # chains per step keep the chip fed where tiny sequential
+            # programs left it idle (VERDICT r3 #3). Replica r stays
+            # equivalent to sequential trial r (same fold_in-keyed inits,
+            # shared collocation stream — tested in test_fused_engine).
+            from differential_equations_dnn_tpu.kernels import fused_engine
+
+            timings = {}
+            stacked, losses_nr = fused_engine.train_fused_ensemble_packed(
+                problem, jax.random.key(seed), config.iterations, ensemble,
+                batch_size=config.batch_size, lrate=config.lrate,
+                model=model, precision=precision, schedule=config.schedule,
+                timings=timings)
+            losses = np.asarray(losses_nr).T
+            wall_time = timings.get("run_time", 0.0)
+            compile_time = timings.get("compile_time", 0.0)
             stacked_state = None
     elif ensemble > 1:
         import jax.numpy as jnp
@@ -372,7 +381,18 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     else:
         if engine == "fused":
             if mesh is not None:
-                raise ValueError("engine='fused' is single-chip")
+                # A single fused run cannot data-shard: splitting its batch
+                # over chips would need a cross-chip gradient psum inside
+                # every Adam step of the Mosaic program, which contradicts
+                # the zero-comms whole-loop-in-one-kernel design. The
+                # multi-chip fused options are population-parallel:
+                raise ValueError(
+                    "a SINGLE fused run is one on-chip Mosaic program and "
+                    "cannot shard over a mesh; use ensemble=N with "
+                    "mesh=make_mesh({'pop': K}) (sharded fused ensemble — "
+                    "kernels.fused_engine.train_fused_ensemble), or "
+                    "engine='scan' with mesh=make_mesh({'data': K}) for "
+                    "data-parallel single-run training")
             common = dict(batch_size=config.batch_size, lrate=config.lrate,
                           model=model, precision=precision)
             if route == "heat" and config.schedule != "constant":

@@ -163,6 +163,209 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
     jax.lax.fori_loop(0, S, body, 0)
 
 
+def _lead(shape):
+    """Replica-stacking fold: tensors stay ≤3-D for Mosaic by folding the
+    replica axis into the leading dim — [N, *s] is stored [N·s0, s1, ...]
+    (1-D originals become [N, s0]). ``_lead`` is the per-replica extent of
+    that folded leading dim."""
+    return shape[0] if len(shape) >= 2 else 1
+
+
+def stack_replicas(flats):
+    """Stack per-replica flat tuples into the packed layout: tensor k of
+    original shape s becomes [N·_lead(s), *s[1:]] ([N, s0] for 1-D)."""
+    return tuple(jnp.concatenate([jnp.reshape(f[k], (_lead(f[k].shape),)
+                                              + f[k].shape[1:])
+                                  if f[k].ndim >= 2 else f[k][None]
+                                  for f in flats], 0)
+                 for k in range(len(flats[0])))
+
+
+def unstack_replicas(packed, shapes, n):
+    """Inverse of :func:`stack_replicas`: [N-stacked tensors] -> list of N
+    per-replica flat tuples with the ORIGINAL shapes."""
+    outs = []
+    for r in range(n):
+        flat = []
+        for k, s in enumerate(shapes):
+            lead = _lead(s)
+            t = packed[k][r * lead:(r + 1) * lead]
+            flat.append(jnp.reshape(t, s))
+        outs.append(tuple(flat))
+    return outs
+
+
+def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
+                             schedule, total, decay, has_const, step0_ref,
+                             lr_ref, *rest):
+    """Packed-replica kernel body: each grid cell advances R_TILE replicas
+    by S Adam steps. The replicas' per-step chains are INDEPENDENT — the
+    unrolled replica loop hands Mosaic's scheduler R_TILE concurrent
+    MXU/VPU dependency chains per step, so one replica's matmul overlaps
+    another's activation algebra instead of the units idling in turn
+    (VERDICT r3 #3: the tiny reference shapes cannot fill the chip one
+    replica at a time).
+
+    State layout: tensor k is [R_TILE·leads[k], ...] in VMEM — the replica
+    axis folded into the leading dim (``_lead``) keeps every operand ≤3-D.
+    Loss rows are lane-packed per replica: loss_ref[cell, r·128 + s]."""
+    u_ref, *refs = rest
+    idx = 0
+    const_ref = None
+    if has_const:
+        const_ref = refs[0]
+        idx = 1
+    p_in = refs[idx:idx + n_tensors]
+    m_in = refs[idx + n_tensors:idx + 2 * n_tensors]
+    v_in = refs[idx + 2 * n_tensors:idx + 3 * n_tensors]
+    loss_ref = refs[idx + 3 * n_tensors]
+    p_out = refs[idx + 3 * n_tensors + 1:idx + 4 * n_tensors + 1]
+    m_out = refs[idx + 4 * n_tensors + 1:idx + 5 * n_tensors + 1]
+    v_out = refs[idx + 5 * n_tensors + 1:idx + 6 * n_tensors + 1]
+
+    i = pl.program_id(1)  # step-block index (replica-group is dim 0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(n_tensors):
+            p_out[k][:] = p_in[k][:]
+            m_out[k][:] = m_in[k][:]
+            v_out[k][:] = v_in[k][:]
+
+    def body(s, _):
+        const = const_ref[:] if has_const else None
+        tile = B // T
+        step = i * S + s
+        t_f = (step0_ref[0] + step + 1).astype(jnp.float32)
+        lr = lr_ref[0]
+        if schedule == "cosine":
+            frac = jnp.minimum((t_f - 1.0) / total, 1.0)
+            lr_t = lr * (decay + (1.0 - decay) * 0.5
+                         * (1.0 + jnp.cos(math.pi * frac)))
+        elif schedule == "exponential":
+            lr_t = lr * jnp.exp(((t_f - 1.0) / total) * math.log(decay))
+        else:
+            lr_t = lr
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for r in range(R_TILE):
+            sl = [slice(r * leads[k], (r + 1) * leads[k])
+                  for k in range(n_tensors)]
+            params = tuple(p_out[k][sl[k]] for k in range(n_tensors))
+
+            loss, grads = step_math(params, u_ref[s, 0:tile], const)
+            for t in range(1, T):
+                loss_t, grads_t = step_math(
+                    params, u_ref[s, t * tile:(t + 1) * tile], const)
+                loss = loss + loss_t
+                grads = tuple(g + gt for g, gt in zip(grads, grads_t))
+            if T > 1:
+                inv = 1.0 / T
+                loss = loss * inv
+                grads = tuple(g * inv for g in grads)
+            row = jnp.where(
+                s == 0, jnp.zeros((1, 128), jnp.float32),
+                loss_ref[pl.ds(i, 1), r * 128:(r + 1) * 128])
+            loss_ref[pl.ds(i, 1), r * 128:(r + 1) * 128] = jnp.where(
+                lane == s, loss, row)
+            for k in range(n_tensors):
+                p_new, m_new, v_new = _adam_update(
+                    p_out[k][sl[k]], m_out[k][sl[k]], v_out[k][sl[k]],
+                    grads[k], lr_t, t_f)
+                p_out[k][sl[k]] = p_new
+                m_out[k][sl[k]] = m_new
+                v_out[k][sl[k]] = v_new
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
+                     lrate, S, n_replicas, rep_tile=None, T=1, const=None,
+                     schedule="constant", total_steps=1, decay=0.1):
+    """Packed-replica variant of :func:`run_fused_chunk`: ONE dispatch
+    advances ``n_replicas`` independent training runs by K steps each.
+
+    ``params``/``m``/``v`` arrive REPLICA-STACKED (:func:`stack_replicas`
+    layout: tensor k = [N·_lead(shapes[k]), *shapes[k][1:]]). All replicas
+    share the uniforms stream (same contract as the sequential trial
+    evaluator) and the lr/schedule. Returns (params, m, v, losses [N, K])
+    in the same stacked layout.
+
+    grid = (N/rep_tile, K/S) with the step dim innermost: a replica
+    group's state blocks stay resident in VMEM across all its step cells
+    (constant index over dim 1), exactly like the single-replica kernel;
+    moving to the next group flushes/loads once."""
+    K, B, U = uniforms.shape
+    n_tensors = len(shapes)
+    if rep_tile is None:
+        rep_tile = n_replicas
+    if n_replicas % rep_tile:
+        raise ValueError(f"n_replicas {n_replicas} not divisible by "
+                         f"rep_tile {rep_tile}")
+    G = n_replicas // rep_tile
+    leads = [_lead(s) for s in shapes]
+    if S > 128:
+        raise ValueError("S > 128 cannot lane-pack the loss history")
+
+    kernel = functools.partial(fused_packed_adam_kernel, step_math,
+                               n_tensors, leads, B, S, T, rep_tile,
+                               schedule, float(total_steps), float(decay),
+                               const is not None)
+
+    def _block(s, lead):
+        """Replica-group-indexed state block: [rep_tile·lead, *s[1:]]."""
+        bs = (rep_tile * lead,) + tuple(s[1:]) if len(s) >= 2 \
+            else (rep_tile, s[0])
+        rank = len(bs)
+        return pl.BlockSpec(bs, functools.partial(
+            lambda r, g, i: (g,) + (0,) * (r - 1), rank),
+            memory_space=pltpu.VMEM)
+
+    state_specs = [_block(s, lead) for s, lead in zip(shapes, leads)]
+    # Stacked full shapes (what the caller passes / receives).
+    full = [(n_replicas * lead,) + tuple(s[1:]) if len(s) >= 2
+            else (n_replicas, s[0]) for s, lead in zip(shapes, leads)]
+    const_spec = ([pl.BlockSpec(const.shape, functools.partial(
+        lambda r, g, i: (0,) * r, len(const.shape)),
+        memory_space=pltpu.VMEM)] if const is not None else [])
+    const_arg = (const,) if const is not None else ()
+    smem = lambda: pl.BlockSpec((1,), lambda g, i: (0,),
+                                memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, K // S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=(
+            [smem(), smem()]
+            + [pl.BlockSpec((S, B, U), lambda g, i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + const_spec
+            + state_specs * 3
+        ),
+        out_specs=(
+            [pl.BlockSpec((K // S, rep_tile * 128), lambda g, i: (0, g),
+                          memory_space=pltpu.VMEM)]
+            + state_specs * 3
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((K // S, n_replicas * 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in full] * 3
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([step0], jnp.int32),
+      jnp.asarray(lrate, jnp.float32).reshape(1), uniforms, *const_arg,
+      *params, *m, *v)
+
+    # losses: lane-unpack [K/S, N·128] -> [N, K]
+    hist = out[0].reshape(K // S, n_replicas, 128)[:, :, :S]
+    losses = jnp.transpose(hist, (1, 0, 2)).reshape(n_replicas, K)
+    n = n_tensors
+    return tuple(out[1:1 + n]), tuple(out[1 + n:1 + 2 * n]), \
+        tuple(out[1 + 2 * n:1 + 3 * n]), losses
+
+
 def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
                     S, T=1, const=None, schedule="constant", total_steps=1,
                     decay=0.1, runtime_bs=None, runtime_steps=None):

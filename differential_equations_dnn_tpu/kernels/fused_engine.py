@@ -1028,6 +1028,176 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     )
 
 
+def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
+                              lrate, n_replicas, rep_tile=None,
+                              steps_per_cell: int | None = None,
+                              batch_tile: int | None = None,
+                              precision=_HIGH, schedule="constant",
+                              total_steps=1, decay=0.1):
+    """Packed-replica twin of :func:`fused_engine_chunk`: one Pallas
+    dispatch advances ``n_replicas`` independent runs by K steps each
+    (state tensors replica-stacked — kernels.engine_core.stack_replicas).
+    Same S/T sizing rules as the single-replica chunk."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        run_fused_packed,
+    )
+
+    K, B, U = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+    R = _n_rows(spec.groups)
+    if steps_per_cell is None:
+        steps_per_cell = max(1, 44_800 // (R * B))
+    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
+    cap = max(64, (512 * 7) // R)
+    if batch_tile is None:
+        batch_tile = B
+        while batch_tile > cap and batch_tile % 2 == 0:
+            batch_tile //= 2
+    if B % batch_tile:
+        raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
+    T = B // batch_tile
+    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    if rep_tile is None:
+        # Bound the resident replica-group state (p+m+v, in+out copies) to
+        # ~24 MiB of the 100 MiB VMEM grant, leaving room for the step
+        # working set and pipeline buffers.
+        per_rep = sum(int(np.prod(s)) for s in shapes) * 4 * 6
+        rep_tile = _largest_divisor_leq(
+            n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
+
+    def step_math(p, u, const):
+        return engine_step_math(spec, p, u, u.shape[0], L, precision,
+                                const=const)
+
+    const = (spec.make_const(B // T) if hasattr(spec, "make_const")
+             else None)
+    return run_fused_packed(step_math, shapes, params, m, v, uniforms,
+                            step0, lrate, S, n_replicas, rep_tile=rep_tile,
+                            T=T, const=const, schedule=schedule,
+                            total_steps=total_steps, decay=decay)
+
+
+def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
+                                batch_size=64, lrate=1e-4, model=None,
+                                precision: str = "highest",
+                                schedule: str | None = None,
+                                decay: float = 0.1, rep_tile=None,
+                                chunk_size=25_000,
+                                steps_per_cell: int | None = None,
+                                mixed_split: float = 0.65, timings=None):
+    """Train ``n_replicas`` independently-initialised replicas in PACKED
+    Mosaic dispatches: every chunk is ONE kernel advancing all replicas
+    (VERDICT r3 #3 — the sequential per-replica dispatch loop left the
+    MXU idle between tiny programs; packing gives the scheduler N
+    independent per-step chains to overlap, and one dispatch amortises
+    the tunnel's per-dispatch latency over the whole ensemble).
+
+    Key semantics MATCH the sequential trial evaluator
+    (:func:`make_lr_evaluator`): ``init_key, run_key = cached_split(key)``,
+    replica r initialised from ``fold_in(init_key, r)``, one shared
+    collocation stream ``fold_in(run_key, step)`` — so replica r here is
+    BIT-IDENTICAL to sequential trial r (tested in tests/test_fused_engine).
+
+    Returns ``(stacked_params_pytree [N, ...], losses [N, iterations])``.
+    """
+    import time
+
+    spec = spec_for(problem)
+    if spec is None:
+        raise ValueError(f"no fused-engine spec for equation "
+                         f"{problem.name!r} (available: {sorted(SPECS)})")
+    model = model or problem.default_model()
+    if not supports(problem, model):
+        raise ValueError("fused engine supports plain tanh MLPs only")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        stack_replicas,
+        unstack_replicas,
+    )
+
+    D, O = model.input_dim, model.output_dim
+    L, H = model.num_layers, model.hidden_size
+    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+
+    init_key, run_key = cached_split(key)
+
+    def init_all(ik):
+        flats = [pack_params(model, model.init(jax.random.fold_in(ik, r)))
+                 for r in range(n_replicas)]
+        zeros = tuple(jnp.zeros_like(t) for t in stack_replicas(flats))
+        return stack_replicas(flats), zeros
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(rk, start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    common = dict(n_replicas=n_replicas, rep_tile=rep_tile,
+                  steps_per_cell=steps_per_cell, schedule=schedule,
+                  total_steps=iterations, decay=decay)
+    n1 = int(iterations * mixed_split) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+    # Mixed runs both phases in ONE program, so the whole budget rides one
+    # chunk (the uniforms block streams HBM->VMEM; chunking only bounds the
+    # host-side draw buffer, which stays modest at these budgets).
+    chunk = (iterations if precision == "mixed"
+             else max(1, min(chunk_size, iterations)))
+
+    def run(flat, m, v, u, step0):
+        if precision == "mixed" and u.shape[0] == iterations:
+            # Whole budget in one dispatch: chain both phases in-program.
+            flat, m, v, l1 = fused_engine_packed_chunk(
+                spec, model, flat, m, v, u[:n1], 0, lrate,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            flat, m, v, l2 = fused_engine_packed_chunk(
+                spec, model, flat, m, v, u[n1:], n1, lrate,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return flat, m, v, jnp.concatenate([l1, l2], axis=1)
+        if precision == "mixed":
+            raise ValueError(
+                "packed mixed precision needs the whole budget in one "
+                "chunk (chunk_size >= iterations)")
+        return fused_engine_packed_chunk(
+            spec, model, flat, m, v, u, step0, lrate,
+            precision=_PRECISIONS[precision], **common)
+
+    t0 = time.perf_counter()
+    flat, zeros = cached_call(jax.jit(init_all), init_key,
+                              label=f"packinit-{n_replicas}")
+    m = v = zeros
+    u0 = cached_call(draw, run_key, 0, label="draw", n=chunk)
+    jrun = jax.jit(run)
+    compiled = cached_compile(jrun, flat, m, v, u0, 0,
+                              label=f"engpack-{problem.name}-{n_replicas}")
+    compile_time = time.perf_counter() - t0
+
+    losses_out = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k = min(chunk, iterations - done)
+        u = u0 if done == 0 and k == chunk else draw(run_key, done, k)
+        step_fn = compiled if k == chunk else jrun
+        flat, m, v, losses = step_fn(flat, m, v, u, done)
+        losses_out.append(losses)
+        done += k
+    flat = tuple(np.asarray(t) for t in flat)  # host-copy sync (honesty)
+    wall = time.perf_counter() - t0
+    if timings is not None:
+        timings["compile_time"] = compile_time
+        timings["run_time"] = wall
+    losses = np.concatenate([np.asarray(l) for l in losses_out], axis=1)
+    params_list = [unpack_params(model, f)
+                   for f in unstack_replicas(flat, shapes, n_replicas)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    return stacked, losses
+
+
 def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
                       steps_per_cell: int | None = None,
                       precision: str = "highest",

@@ -141,6 +141,12 @@ def test_solve_fused_engine_guards():
               mesh=make_mesh({"data": 2}))
     with _pytest.raises(ValueError, match="unknown engine"):
         solve("heat", engine="warp", iterations=10)
+    # A SINGLE fused run + mesh must fail with a message that names the
+    # working alternatives by path (VERDICT r3 weak #6), not a bare
+    # "is single-chip".
+    with _pytest.raises(ValueError, match="ensemble=N with"):
+        solve("heat", engine="fused", iterations=10,
+              mesh=make_mesh({"data": 2}))
 
 
 def test_solve_fused_ensemble_sharded():

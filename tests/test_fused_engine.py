@@ -348,3 +348,65 @@ def test_advection_causal_fused_training_interpret(key):
                               chunk_size=200)
     assert r.loss_history[-40:].mean() < r.loss_history[:40].mean()
     assert np.isfinite(prob.mae(model.apply, r.params, nodes=8))
+
+
+@pytest.mark.parametrize("rep_tile", [None, 2])
+def test_packed_ensemble_matches_sequential_evaluator(key, rep_tile):
+    """The packed-replica kernel (one dispatch, N replicas — VERDICT r3 #3)
+    must reproduce the sequential trial evaluator it replaces: same
+    fold_in(init_key, r) inits (verified bit-identical), same shared
+    collocation stream, same per-replica math. The comparison is
+    tight-allclose, not bitwise: packed and sequential are DIFFERENT
+    compiled programs, and XLA's scheduling legitimately drifts the last
+    ulp after a few steps (observed ~1e-7 rel at step 8; packed-vs-packed
+    paths below stay bit-exact). rep_tile=2 exercises the multi-group
+    grid (replica-group dim > 1)."""
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    stacked, losses = fe.train_fused_ensemble_packed(
+        prob, key, 12, 4, batch_size=8, model=model, steps_per_cell=3,
+        lrate=1e-3, rep_tile=rep_tile)
+    assert losses.shape == (4, 12)
+    ev = fe.make_lr_evaluator(prob, key, 12, batch_size=8, model=model,
+                              steps_per_cell=3)
+    for r in range(4):
+        l_seq, flat_seq = ev(r, 1e-3)
+        np.testing.assert_allclose(losses[r], l_seq, rtol=1e-5, atol=1e-8)
+        rep = jax.tree.map(lambda a: a[r], stacked)
+        for a, b in zip(jax.tree.leaves(rep),
+                        jax.tree.leaves(fe.unpack_params(model, flat_seq))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_packed_ensemble_mixed_matches_fp32_on_cpu(key):
+    """precision='mixed' on the packed path (two chained phases in ONE
+    program) reproduces fp32 bit-for-bit in interpret mode."""
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    p_hi, l_hi = fe.train_fused_ensemble_packed(
+        prob, key, 8, 2, batch_size=8, model=model, steps_per_cell=2)
+    p_mx, l_mx = fe.train_fused_ensemble_packed(
+        prob, key, 8, 2, batch_size=8, model=model, steps_per_cell=2,
+        precision="mixed")
+    np.testing.assert_array_equal(l_hi, l_mx)
+    for a, b in zip(jax.tree.leaves(p_hi), jax.tree.leaves(p_mx)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_ensemble_chunked_matches_single_dispatch(key):
+    """Chunked packed training (two 6-step dispatches) must equal one
+    12-step dispatch: absolute-step-keyed draws + carried state."""
+    prob = PROBLEMS["simple_ode"]()
+    model = MLP(input_dim=1, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    one, l_one = fe.train_fused_ensemble_packed(
+        prob, key, 12, 2, batch_size=8, model=model, steps_per_cell=3)
+    two, l_two = fe.train_fused_ensemble_packed(
+        prob, key, 12, 2, batch_size=8, model=model, steps_per_cell=3,
+        chunk_size=6)
+    np.testing.assert_array_equal(l_one, l_two)
+    for a, b in zip(jax.tree.leaves(one), jax.tree.leaves(two)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -356,7 +356,13 @@ def run_calibration() -> None:
     import jax
     import jax.numpy as jnp
 
-    n, reps = 4096, 8
+    # reps sized so compute dwarfs the timed device->host pull: every timed
+    # region must end with a host copy (deserialized executables can return
+    # from block_until_ready early — round-3 honesty fix), but the pull
+    # costs ~40-70 ms over the tunnel. 8 reps of 4096^3 is ~6 ms of compute
+    # at nominal peak — the OLD anchor (BENCH_r02: 26 TFLOP/s) measured the
+    # TUNNEL, not the silicon. 64 reps puts compute at 10-50x the pull.
+    n, reps = 4096, 64
     for dtype, name in [(jnp.bfloat16, "bf16"), (jnp.float32, "fp32")]:
         a = (jax.random.normal(jax.random.key(0), (n, n))
              / math.sqrt(n)).astype(dtype)
@@ -434,6 +440,53 @@ def run_sweep() -> None:
         f"lr evaluator, {ITERATIONS} iters x batch {BATCH} per trial")
 
 
+def run_packed() -> None:
+    """VERDICT r3 #3 acceptance: ensemble-of-16 heat as ONE packed kernel
+    vs 16 sequential dispatches of the per-replica executable, plus the
+    packed configuration's achieved matmul TFLOP/s (useful FLOPs only —
+    16 independent replicas, no block-diagonal padding)."""
+    import jax
+
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.kernels import fused_engine as fe
+
+    problem = Heat1D(taps="jvp")
+    model = problem.default_model()
+    N = 16
+    timings: dict = {}
+    fe.train_fused_ensemble_packed(
+        problem, jax.random.key(0), ITERATIONS, N, batch_size=BATCH,
+        lrate=1e-4, precision="mixed", timings=timings)
+    wall = timings.get("run_time", 0.0)
+    if wall:
+        _extras["packed_ensemble16_wall_s"] = round(wall, 2)
+        _extras["packed_ensemble16_compile_s"] = round(
+            timings.get("compile_time", 0.0), 1)
+        _extras["packed_replica_iters_per_sec"] = round(
+            N * ITERATIONS / wall, 1)
+        tf = N * step_flops(model, BATCH) * (ITERATIONS / wall) / 1e12
+        _extras["packed_achieved_matmul_tflops"] = round(tf, 2)
+        nominal = _extras.get("nominal_bf16_tflops")
+        if nominal:
+            _extras["packed_mxu_utilisation_vs_peak"] = round(tf / nominal, 4)
+        fp32_anchor = _extras.get("calibration_matmul_fp32_tflops")
+        if fp32_anchor:
+            _extras["packed_mxu_utilisation_vs_calibration"] = round(
+                tf / fp32_anchor, 3)
+    emit()
+    # Sequential baseline: the round-3 path — one executable, N dispatches.
+    ev = fe.make_lr_evaluator(problem, jax.random.key(0), ITERATIONS,
+                              batch_size=BATCH, precision="mixed")
+    ev(0, 1e-4)  # compile + first dispatch outside the timed region
+    t0 = time.perf_counter()
+    for t in range(N):
+        ev(t, 1e-4)
+    seq = time.perf_counter() - t0
+    _extras["sequential_ensemble16_wall_s"] = round(seq, 2)
+    if wall:
+        _extras["packed_vs_sequential_speedup"] = round(seq / wall, 2)
+
+
 # Per-equation regression tier (VERDICT r3 #8): one {mae, iters/s} record
 # per equation at its DEPLOYMENT defaults, fused engine where supported.
 EQUATION_TIER = [
@@ -505,6 +558,7 @@ def main() -> int:
     section("lbfgs", 90.0, lambda: run_lbfgs(problem, r1.params))
     section("calibration", 60.0, run_calibration)
     section("sweep", 180.0, run_sweep)
+    section("packed", 240.0, run_packed)
     section("equations", 80.0, run_equations)
 
     emit()

@@ -34,7 +34,8 @@ def test_stalled_section_still_emits_headline():
         # section budget) or it is skipped instead of started-then-stalled.
         BENCH_BUDGET_S="160",
         BENCH_STALL="scan",  # the scan section hangs forever
-        BENCH_SKIP="probe,provisional,fp32,lbfgs,calibration,sweep,equations",
+        BENCH_SKIP=("probe,provisional,fp32,lbfgs,calibration,sweep,"
+                    "packed,equations"),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

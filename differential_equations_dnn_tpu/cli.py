@@ -464,10 +464,9 @@ def _cmd_sweep(args):
                 heat_search_space,
             )
 
-            # The full reference space rides the runtime-masked MLP
-            # evaluator; the DGM engine sweeps {lrate, n_iters} (its
-            # stream layouts are packed per batch_size, so the batch
-            # width stays compile-time).
+            # The full reference space rides the runtime-masked evaluators
+            # on BOTH engines (batch_size = iota row mask, n_iters = step
+            # gate, lr = SMEM scalar — one executable per equation).
             if fused_dgm.supports(problem, None,
                                   problem.defaults.batch_size):
                 from differential_equations_dnn_tpu.sweep.search import (
@@ -479,16 +478,17 @@ def _cmd_sweep(args):
                 # Derive the budget range from the equation's OWN protocol
                 # (the reference's 1000..50000 is heat-specific — it would
                 # exclude FN's known-good 150k and compile fredholm's
-                # executable at 16x its 3k budget).
+                # executable at 16x its 3k budget). batch_size spans the
+                # reference's randint[1, 512) clamped to the sampler cap.
                 it = args.max_iters or problem.defaults.iterations
                 space = SearchSpace({
+                    "batch_size": randint(1, args.max_batch_size),
                     "n_iters": randint(max(100, it // 10), it + 1),
                     "lrate": loguniform(1e-4, 1e-1),
                 })
-                print(f"[{args.equation}] DGM fused engine: sweeping "
-                      f"lrate and n_iters in [{max(100, it // 10)}, {it}] "
-                      f"(batch width is compile-time; use --scheduler tpe "
-                      f"for batch_size too)")
+                print(f"[{args.equation}] DGM fused engine: sweeping the "
+                      f"full space — batch_size, lrate, n_iters in "
+                      f"[{max(100, it // 10)}, {it}]")
             elif fused_engine.spec_for(problem) is not None:
                 space = heat_search_space()
         result = tpe_search_fused(

@@ -46,8 +46,8 @@ from differential_equations_dnn_tpu.kernels.fused_train import (
 
 
 def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
-                      has_const, has_runtime, mask_rows, step0_ref, lr_ref,
-                      *rest):
+                      has_const, has_runtime, mask_rows, trial_horizon,
+                      step0_ref, lr_ref, *rest):
     """Generic kernel body: S Adam steps per grid cell over ``n_tensors``
     parameter tensors, with ``step_math`` supplying loss + grads.
 
@@ -129,11 +129,15 @@ def fused_adam_kernel(step_math, n_tensors, B, S, T, schedule, total, decay,
             lr = lr_ref[0]
             # Per-step learning rate (matches train.trainer's optax
             # schedules: cosine_decay_schedule / exponential_decay with end
-            # value lr·decay). In runtime-masked sweep mode the decay
-            # horizon is the TRIAL's own n_steps (SMEM scalar), not the
-            # compiled max — a short trial sees the same full decay curve
-            # a standalone run of its own budget would.
-            if has_runtime and schedule != "constant":
+            # value lr·decay). In runtime-masked sweep mode with
+            # ``trial_horizon`` the decay horizon is the TRIAL's own
+            # n_steps (SMEM scalar) — a short trial sees the same full
+            # decay curve a standalone run of its own budget would. With
+            # ``trial_horizon=False`` (halving rungs) the horizon is the
+            # FIXED compiled total: every rung replays the same lr(t)
+            # prefix, so restart == promotion stays exact under decay
+            # schedules too (VERDICT r3 #5).
+            if has_runtime and trial_horizon and schedule != "constant":
                 horizon = jnp.maximum(nsteps_ref[0].astype(jnp.float32), 1.0)
             else:
                 horizon = total
@@ -368,7 +372,8 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
 
 def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
                     S, T=1, const=None, schedule="constant", total_steps=1,
-                    decay=0.1, runtime_bs=None, runtime_steps=None):
+                    decay=0.1, runtime_bs=None, runtime_steps=None,
+                    trial_horizon=True):
     """Run ``K = uniforms.shape[0]`` Adam steps inside one Pallas kernel
     (``S`` steps per grid cell, must divide K; ``T`` gradient-accumulation
     tiles per batch). Returns (params, m, v, losses [K]).
@@ -390,7 +395,7 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
     kernel = functools.partial(fused_adam_kernel, step_math, n_tensors, B,
                                S, T, schedule, float(total_steps),
                                float(decay), const is not None, has_runtime,
-                               mask_rows)
+                               mask_rows, trial_horizon)
 
     state_specs = [
         pl.BlockSpec(s, functools.partial(lambda r, i: (0,) * r, len(s)),

@@ -191,14 +191,20 @@ def _mul_bwd(groups, u, b, B):
 # ---------------------------------------------------------------------------
 
 
-def dgm_step_math(spec, params, u, B, L, precision=_HIGH):
+def dgm_step_math(spec, params, u, B, L, precision=_HIGH,
+                  batch_mask=None, inv_bs=None):
     """One training step's loss and parameter gradients for a DGM stream
     spec. ``params`` = the flat 10-tuple; ``u`` = [B, spec.n_uniform]
-    U[0,1) draws. Returns (loss, grads_tuple)."""
+    U[0,1) draws. Returns (loss, grads_tuple). ``batch_mask`` [B, 1] +
+    ``inv_bs`` switch the spec's loss to the runtime-batch-size masked
+    partial sum (sweep evaluators — same contract as
+    fused_engine.engine_step_math)."""
     groups = spec.groups
     act = spec.act
     w_in, b_in, Wzgr, Uzgr, bzgr, Wh, Uh, bh, w_out, b_out = params
     X, ctx = spec.build(u)
+    if batch_mask is not None:
+        ctx = {**ctx, "mask": batch_mask, "inv_bs": inv_bs}
     mask = _bias_mask(groups, B, X.dtype)
     H = w_in.shape[1]
 
@@ -337,6 +343,19 @@ class FNDGMSpec:
         f_w = (p.beta * sv - p.alpha - rev) / p.tau       # col 1 (w, y=rev)
         r = dsdt + jnp.where(col == 0, f_y, f_w)
         r2 = jnp.square(r)
+        mask = ctx.get("mask") if isinstance(ctx, dict) else None
+        if mask is not None:
+            # Masked (runtime-batch-size sweep) calls keep the REFERENCE
+            # loss, mirroring equations.fitzhugh_nagumo.loss's masked
+            # population branch: causal weighting is a single-run training
+            # protocol. (The bs-mode sweep evaluator also builds this spec
+            # from a causal_eps=0 problem view so the collocation is the
+            # reference's iid draw, not the causal stratified-sorted one —
+            # a row-prefix mask over time-sorted strata would train short
+            # trials on early times only.)
+            inv_bs = ctx["inv_bs"]
+            return (jnp.sum(r2 * mask) * inv_bs
+                    + jnp.sum(jnp.square(s0 - p.y_ic) * mask) * inv_bs)
         ic = jnp.mean(jnp.square(s0 - p.y_ic))
         if p.causal_eps <= 0.0:
             # mean(r_y²)+mean(r_w²)+mean((s0−ic)²) = 2·mean_full(r²) + ...
@@ -400,6 +419,13 @@ class FredholmDGMSpec:
             w_j = const[2 * j + 1]
             integral = integral + jnp.sum(w_j * jnp.cos(t_j) * outs[1 + j])
         r = y_x - jnp.sin(x) * (1.0 + integral)
+        mask = ctx.get("mask") if isinstance(ctx, dict) else None
+        if mask is not None:
+            # Runtime batch_size masks COLLOCATION rows only: the
+            # quadrature node groups are not batch samples (their k is a
+            # problem constant; zero-padded weights already silence the
+            # padding), so the integral is untouched.
+            return jnp.sum(jnp.square(r) * mask) * ctx["inv_bs"]
         return jnp.mean(jnp.square(r))
 
 
@@ -449,15 +475,17 @@ def supports(problem, model=None, batch_size=None) -> bool:
 def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
                     const=None, steps_per_cell: int | None = None,
                     precision=_HIGH, schedule="constant", total_steps=1,
-                    decay=0.1, runtime_steps=None):
+                    decay=0.1, runtime_steps=None, runtime_bs=None,
+                    trial_horizon=True):
     """Run ``K = uniforms.shape[0]`` Adam steps of a DGM equation inside one
     Pallas kernel (shared scaffolding: kernels.engine_core; quadrature
     constants ride the const operand). ``runtime_steps`` (traced int
-    scalar) switches on step-gating-only sweep mode: steps at or past the
-    trial's own budget freeze params/moments/history in place — the DGM
-    engine's batch width stays compile-time (the Fredholm spec's
-    quadrature node groups are packed per batch_size), so only n_iters is
-    a runtime hyperparameter here."""
+    scalar) switches on step-gated sweep mode: steps at or past the
+    trial's own budget freeze params/moments/history in place.
+    ``runtime_bs`` additionally masks collocation rows ≥ bs out of the
+    loss (iota row mask, the MLP engine's construction — VERDICT r3 #2):
+    with both, one executable covers the FULL reference
+    {batch_size, n_iters, lrate} space on the DGM equations too."""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_chunk,
     )
@@ -470,18 +498,21 @@ def fused_dgm_chunk(spec, model, params, m, v, uniforms, step0, lrate,
         steps_per_cell = max(1, 25_600 // (R * B))
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
 
-    def step_math(p, u, c):
+    def step_math(p, u, c, batch_mask=None, inv_bs=None):
         frozen = (spec_with_build(spec, functools.partial(spec.build,
                                                           const=c))
                   if c is not None else spec)
-        return dgm_step_math(frozen, p, u, B, L, precision)
+        return dgm_step_math(frozen, p, u, B, L, precision,
+                             batch_mask=batch_mask, inv_bs=inv_bs)
 
     shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
               (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
                            lrate, S, const=const, schedule=schedule,
                            total_steps=total_steps, decay=decay,
-                           runtime_steps=runtime_steps)
+                           runtime_steps=runtime_steps,
+                           runtime_bs=runtime_bs,
+                           trial_horizon=trial_horizon)
 
 
 class spec_with_build:
@@ -571,6 +602,156 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
     return eval_fn
 
 
+def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
+                           lrate, n_replicas, rep_tile=None, const=None,
+                           steps_per_cell: int | None = None,
+                           precision=_HIGH, schedule="constant",
+                           total_steps=1, decay=0.1):
+    """Packed-replica twin of :func:`fused_dgm_chunk`: one Pallas dispatch
+    advances ``n_replicas`` independent DGM runs by K steps each (state
+    replica-stacked — kernels.engine_core.stack_replicas)."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        run_fused_packed,
+    )
+
+    K, B, U = uniforms.shape
+    L, H = model.num_layers, model.hidden_size
+    D, O = model.input_dim, model.output_dim
+    R = _n_rows(spec.groups)
+    if steps_per_cell is None:
+        steps_per_cell = max(1, 25_600 // (R * B))
+    S = _largest_divisor_leq(K, min(steps_per_cell, 128))
+    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
+              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
+    if rep_tile is None:
+        per_rep = sum(int(np.prod(s)) for s in shapes) * 4 * 6
+        rep_tile = _largest_divisor_leq(
+            n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
+
+    def step_math(p, u, c):
+        frozen = (spec_with_build(spec, functools.partial(spec.build,
+                                                          const=c))
+                  if c is not None else spec)
+        return dgm_step_math(frozen, p, u, B, L, precision)
+
+    return run_fused_packed(step_math, shapes, params, m, v, uniforms,
+                            step0, lrate, S, n_replicas, rep_tile=rep_tile,
+                            const=const, schedule=schedule,
+                            total_steps=total_steps, decay=decay)
+
+
+def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
+                                    batch_size=100, lrate=1e-4, model=None,
+                                    precision: str = "highest",
+                                    schedule: str | None = None,
+                                    decay: float = 0.1, rep_tile=None,
+                                    chunk_size=25_000,
+                                    steps_per_cell: int | None = None,
+                                    mixed_split: float = 0.65,
+                                    timings=None):
+    """Train ``n_replicas`` DGM replicas in PACKED Mosaic dispatches —
+    the DGM twin of fused_engine.train_fused_ensemble_packed (VERDICT r3
+    #3: one dispatch instead of N, N independent per-step chains for the
+    scheduler to overlap). Key semantics match
+    :func:`make_trial_evaluator` exactly (cached_split, fold_in(init_key,
+    r) inits, shared fold_in(run_key, step) collocation stream), so
+    replica r reproduces sequential trial r.
+
+    Returns ``(stacked_params_pytree [N, ...], losses [N, iterations])``.
+    """
+    import time
+
+    spec = spec_for(problem, batch_size)
+    if spec is None:
+        raise ValueError(f"no fused DGM spec for {problem.name!r}")
+    model = model or problem.default_model()
+    if not supports(problem, model, batch_size):
+        raise ValueError(
+            f"fused DGM engine needs a DGM model with {spec.act!r} gates")
+    if schedule is None:
+        schedule = problem.defaults.schedule
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        stack_replicas,
+        unstack_replicas,
+    )
+
+    const = None
+    if isinstance(spec, FredholmDGMSpec):
+        const = _fredholm_const(problem, batch_size, spec.n_groups)
+    D, O = model.input_dim, model.output_dim
+    L, H = model.num_layers, model.hidden_size
+    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
+              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
+
+    init_key, run_key = cached_split(key)
+
+    def init_all(ik):
+        flats = [pack_dgm(model.init(jax.random.fold_in(ik, r)))
+                 for r in range(n_replicas)]
+        zeros = tuple(jnp.zeros_like(t) for t in stack_replicas(flats))
+        return stack_replicas(flats), zeros
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw(rk, start, n):
+        return jax.vmap(
+            lambda i: jax.random.uniform(jax.random.fold_in(rk, i),
+                                         (batch_size, spec.n_uniform))
+        )(start + jnp.arange(n))
+
+    common = dict(n_replicas=n_replicas, rep_tile=rep_tile, const=const,
+                  steps_per_cell=steps_per_cell, schedule=schedule,
+                  total_steps=iterations, decay=decay)
+    n1 = int(iterations * mixed_split) if precision == "mixed" else 0
+    if precision == "mixed" and (n1 == 0 or n1 == iterations):
+        precision, n1 = "highest", 0
+    chunk = (iterations if precision == "mixed"
+             else max(1, min(chunk_size, iterations)))
+
+    def run(flat, m, v, u, step0):
+        if precision == "mixed":
+            flat, m, v, l1 = fused_dgm_packed_chunk(
+                spec, model, flat, m, v, u[:n1], 0, lrate,
+                precision=jax.lax.Precision.DEFAULT, **common)
+            flat, m, v, l2 = fused_dgm_packed_chunk(
+                spec, model, flat, m, v, u[n1:], n1, lrate,
+                precision=jax.lax.Precision.HIGHEST, **common)
+            return flat, m, v, jnp.concatenate([l1, l2], axis=1)
+        return fused_dgm_packed_chunk(
+            spec, model, flat, m, v, u, step0, lrate,
+            precision=_PRECISIONS[precision], **common)
+
+    t0 = time.perf_counter()
+    flat, zeros = cached_call(jax.jit(init_all), init_key,
+                              label=f"dgmpackinit-{n_replicas}")
+    m = v = zeros
+    u0 = cached_call(draw, run_key, 0, label="draw", n=chunk)
+    jrun = jax.jit(run)
+    compiled = cached_compile(jrun, flat, m, v, u0, 0,
+                              label=f"dgmpack-{problem.name}-{n_replicas}")
+    compile_time = time.perf_counter() - t0
+
+    losses_out = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k = min(chunk, iterations - done)
+        u = u0 if done == 0 and k == chunk else draw(run_key, done, k)
+        step_fn = compiled if k == chunk else jrun
+        flat, m, v, losses = step_fn(flat, m, v, u, done)
+        losses_out.append(losses)
+        done += k
+    flat = tuple(np.asarray(t) for t in flat)  # host-copy sync (honesty)
+    wall = time.perf_counter() - t0
+    if timings is not None:
+        timings["compile_time"] = compile_time
+        timings["run_time"] = wall
+    losses = np.concatenate([np.asarray(l) for l in losses_out], axis=1)
+    params_list = [unpack_dgm(f)
+                   for f in unstack_replicas(flat, shapes, n_replicas)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    return stacked, losses
+
+
 def _sweep_prologue(problem, key, max_iters, batch_size, model, precision,
                     schedule):
     """Shared validation + key/stream derivation for the DGM runtime-gated
@@ -612,48 +793,97 @@ def _sweep_prologue(problem, key, max_iters, batch_size, model, precision,
 
 
 def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
+                         max_batch: int | None = None,
                          model=None, steps_per_cell: int | None = None,
                          precision: str = "highest",
-                         schedule: str | None = None, decay: float = 0.1):
-    """Compile ONE fused DGM executable covering a {lrate, n_iters} search
-    space and return ``eval_fn(trial_index, lrate, n_iters) ->
-    (losses [n_iters], flat_params)``.
+                         schedule: str | None = None, decay: float = 0.1,
+                         horizon: str = "trial"):
+    """Compile ONE fused DGM executable covering a sweep space and return
+    its trial evaluator.
 
-    The DGM-engine counterpart of fused_engine.make_sweep_evaluator,
-    minus runtime batch masking: the DGM specs' stream layouts are packed
-    per batch_size (Fredholm's quadrature node groups especially), so the
-    batch width stays compile-time and only lr (SMEM scalar) and n_iters
-    (``pl.when`` step gate — steps past the trial's own budget freeze
-    params/moments/history) are runtime. Decay schedules follow each
-    trial's OWN n_iters horizon, matching a standalone run of that
-    budget."""
+    * ``max_batch=None`` (default): the {lrate, n_iters} space —
+      ``eval_fn(trial_index, lrate, n_iters)``. lr is an SMEM scalar;
+      n_iters a ``pl.when`` step gate (steps past the trial's own budget
+      freeze params/moments/history). Decay schedules follow each trial's
+      OWN n_iters horizon, matching a standalone run of that budget.
+    * ``max_batch=M``: the FULL reference {batch_size, n_iters, lrate}
+      space (optimize_heat_ray.py:173-176; VERDICT r3 #2) —
+      ``eval_fn(trial_index, lrate, batch_size, n_iters)``. Collocation
+      rows ≥ batch_size are masked out of the loss at runtime (iota row
+      mask over the M-row tile, the MLP engine's construction). Fredholm's
+      quadrature node groups are packed once at M (k ≤ M required) and are
+      NOT masked — k is a problem constant, not a batch hyperparameter.
+      FitzHugh–Nagumo bs-sweeps evaluate the REFERENCE protocol (iid
+      collocation, plain loss): causal weighting is a single-run training
+      protocol (equations.fitzhugh_nagumo.loss masks the same way), and a
+      row-prefix mask over the causal build's time-sorted strata would
+      train short trials on early times only.
+
+    ``horizon``: "trial" decays schedules over each trial's own n_iters
+    (standalone-run semantics); "fixed" decays over ``max_iters`` for
+    every trial (the halving schedulers' exact-promotion continuation
+    semantics — see fused_engine.make_sweep_evaluator).
+    """
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
+    if max_batch is not None:
+        batch_size = int(max_batch)
+        if (problem.name == "fitzhugh_nagumo"
+                and getattr(problem, "causal_eps", 0.0) > 0.0):
+            import dataclasses
+
+            problem = dataclasses.replace(problem, causal_eps=0.0)
+        if problem.name == "fredholm" and problem.k > batch_size:
+            raise ValueError(
+                f"runtime-batch sweeps need the {problem.k} quadrature "
+                f"nodes to fit one max_batch tile (got max_batch="
+                f"{batch_size}); raise max_batch or lower k")
     spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, batch_size, model,
                         precision, schedule)
 
-    def run(flat, m, v, u, lr, n_steps):
+    def run(flat, m, v, u, lr, n_steps, bs=None):
         return fused_dgm_chunk(
             spec, model, flat, m, v, u, 0, lrate=lr, const=const,
             steps_per_cell=steps_per_cell,
             precision=_PRECISIONS[precision], schedule=schedule,
-            total_steps=max_iters, decay=decay, runtime_steps=n_steps)
+            total_steps=user_max, decay=decay, runtime_steps=n_steps,
+            runtime_bs=bs, trial_horizon=horizon == "trial")
 
     jinit = cached_compile(jax.jit(model.init),
                            jax.random.fold_in(init_key, 0), label="init")
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
+    if max_batch is None:
+        compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
+                                  uniforms, np.float32(0.0),
+                                  np.int32(max_iters),
+                                  label=f"dgmsw-{problem.name}")
+
+        def eval_fn(trial_index: int, lrate: float, n_iters: int):
+            n_iters = max(1, min(int(n_iters), user_max))
+            flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
+            p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
+                                       np.float32(lrate), np.int32(n_iters))
+            return np.asarray(losses)[:n_iters], p
+
+        return eval_fn
+
     compiled = cached_compile(jax.jit(run), flat0, zeros, zeros, uniforms,
                               np.float32(0.0), np.int32(max_iters),
-                              label=f"dgmsw-{problem.name}")
+                              np.int32(batch_size),
+                              label=f"dgmswb-{problem.name}")
 
-    def eval_fn(trial_index: int, lrate: float, n_iters: int):
+    def eval_fn_bs(trial_index: int, lrate: float, bs: int, n_iters: int):
         n_iters = max(1, min(int(n_iters), user_max))
+        bs = max(1, min(int(bs), batch_size))
         flat = pack_dgm(jinit(jax.random.fold_in(init_key, trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
-                                   np.float32(lrate), np.int32(n_iters))
+                                   np.float32(lrate), np.int32(n_iters),
+                                   np.int32(bs))
         return np.asarray(losses)[:n_iters], p
 
-    return eval_fn
+    return eval_fn_bs
 
 
 def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
@@ -661,7 +891,8 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                                 steps_per_cell: int | None = None,
                                 precision: str = "highest",
                                 schedule: str | None = None,
-                                decay: float = 0.1):
+                                decay: float = 0.1,
+                                horizon: str = "trial"):
     """DGM counterpart of fused_engine.make_sharded_rung_evaluator:
     evaluate a VECTOR of step-gated trials (lr + n_iters runtime; batch
     width compile-time) in ONE dispatch, trials sharded over ``mesh``'s
@@ -671,9 +902,13 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
 
     Returns ``eval_fn(trial_indices, lrates, n_iters) ->
     (final_losses [P], flat_stacked)``; P must be a multiple of the
-    'pop' axis size (pad by repeating trials)."""
+    'pop' axis size (pad by repeating trials). ``horizon`` as in
+    :func:`make_sweep_evaluator` ("fixed" = the halving schedulers'
+    exact-promotion continuation semantics)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
     spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, batch_size, model,
                         precision, schedule)
@@ -696,7 +931,8 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                 spec, model, p, zeros, zeros, u, 0, lrate=lrs[j],
                 const=const, steps_per_cell=steps_per_cell,
                 precision=_PRECISIONS[precision], schedule=schedule,
-                total_steps=max_iters, decay=decay, runtime_steps=ns[j])
+                total_steps=user_max, decay=decay, runtime_steps=ns[j],
+                trial_horizon=horizon == "trial")
             outs_p.append(p)
             finals.append(jnp.take(lo, ns[j] - 1))
         return (tuple(jnp.stack([o[k] for o in outs_p])

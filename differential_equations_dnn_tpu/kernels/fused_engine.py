@@ -830,7 +830,8 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
                        steps_per_cell: int | None = None,
                        batch_tile: int | None = None, precision=_HIGH,
                        schedule="constant", total_steps=1, decay=0.1,
-                       runtime_bs=None, runtime_steps=None):
+                       runtime_bs=None, runtime_steps=None,
+                       trial_horizon=True):
     """Run ``K = uniforms.shape[0]`` Adam steps of ``spec``'s equation inside
     one Pallas kernel (shared scaffolding: kernels.engine_core). VMEM
     strategy scales with the spec's stream count; batches above the tile
@@ -873,7 +874,8 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
                            lrate, S, T=T, const=const, schedule=schedule,
                            total_steps=total_steps, decay=decay,
-                           runtime_bs=runtime_bs, runtime_steps=runtime_steps)
+                           runtime_bs=runtime_bs, runtime_steps=runtime_steps,
+                           trial_horizon=trial_horizon)
 
 
 # ---------------------------------------------------------------------------
@@ -1302,7 +1304,8 @@ def _sweep_prologue(problem, key, max_iters, max_batch, model, precision,
 def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                          steps_per_cell: int | None = None,
                          precision: str = "highest",
-                         schedule: str | None = None, decay: float = 0.1):
+                         schedule: str | None = None, decay: float = 0.1,
+                         horizon: str = "trial"):
     """Compile ONE fused executable covering the FULL reference search space
     (optimize_heat_ray.py:173-176: batch_size, n_iters, lrate) and return
     ``eval_fn(trial_index, lrate, batch_size, n_iters) ->
@@ -1314,9 +1317,17 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
     equations.base), and n_iters freezes every step past the trial's own
     budget (``pl.when`` skip), so the returned state IS the n_iters-step
     state and the final loss matches a standalone n_iters run over the
-    same collocation stream. Decay schedules ("cosine"/"exponential")
-    follow each trial's OWN n_iters horizon (runtime SMEM scalar), again
-    matching a standalone run of that budget."""
+    same collocation stream.
+
+    ``horizon`` picks the decay-schedule semantics ("constant" ignores
+    it): "trial" (default) decays over each trial's OWN n_iters (runtime
+    SMEM scalar) — every trial matches a standalone run of its budget;
+    "fixed" decays over ``max_iters`` for every trial — the halving
+    schedulers' continuation semantics, where a promoted trial's restart
+    replays the identical lr(t) prefix, keeping restart == promotion
+    exact under decay schedules too (VERDICT r3 #5)."""
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
     spec, model, schedule, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, max_batch, model,
                         precision, schedule)
@@ -1326,8 +1337,12 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
             spec, model, flat, m, v, u, 0, lrate=lrate,
             steps_per_cell=steps_per_cell,
             precision=_PRECISIONS[precision], schedule=schedule,
-            total_steps=max_iters, decay=decay,
-            runtime_bs=bs, runtime_steps=n_steps)
+            # Fixed mode decays over the CALLER's max_iters (user_max),
+            # not the padded compile horizon — a full-budget trial then
+            # matches a standalone run of max_iters exactly.
+            total_steps=user_max, decay=decay,
+            runtime_bs=bs, runtime_steps=n_steps,
+            trial_horizon=horizon == "trial")
 
     jinit = cached_compile(jax.jit(model.init),
                            jax.random.fold_in(init_key, 0), label="init")
@@ -1358,7 +1373,8 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                                 steps_per_cell: int | None = None,
                                 precision: str = "highest",
                                 schedule: str | None = None,
-                                decay: float = 0.1):
+                                decay: float = 0.1,
+                                horizon: str = "trial"):
     """Sharded counterpart of :func:`make_sweep_evaluator`: evaluate a
     VECTOR of runtime-gated trials in ONE dispatch, trials sharded over
     ``mesh``'s 'pop' axis via ``jax.shard_map`` — each chip trains its
@@ -1375,9 +1391,12 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     trial i's loss at ITS OWN budget. P must be a multiple of the 'pop'
     axis size — pad by repeating trials (a duplicate costs only its own
     gated budget). Distinct P values compile distinct programs (each
-    cached)."""
+    cached). ``horizon`` as in :func:`make_sweep_evaluator` ("fixed" =
+    the halving schedulers' exact-promotion continuation semantics)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
     spec, model, schedule, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, max_batch, model,
                         precision, schedule)
@@ -1402,8 +1421,9 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                 spec, model, p, zeros, zeros, u, 0, lrate=lrs[j],
                 steps_per_cell=steps_per_cell,
                 precision=_PRECISIONS[precision], schedule=schedule,
-                total_steps=max_iters, decay=decay,
-                runtime_bs=bss[j], runtime_steps=ns[j])
+                total_steps=user_max, decay=decay,
+                runtime_bs=bss[j], runtime_steps=ns[j],
+                trial_horizon=horizon == "trial")
             outs_p.append(p)
             finals.append(jnp.take(lo, ns[j] - 1))
         return (tuple(jnp.stack([o[k] for o in outs_p])

@@ -419,21 +419,47 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         unpack_params = fused_engine.unpack_params
     elif fused_dgm.supports(problem, model, bs):
         if "batch_size" in names:
-            raise ValueError(
-                "the fused DGM engine sweeps lrate/n_iters only (its "
-                "stream layouts are packed per batch_size); drop "
-                "batch_size from the space, or use scheduler='tpe' "
-                "(vmapped population) for the full space")
-        _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
-                                             batch_size=bs, model=model,
-                                             schedule=schedule)
+            # Full reference space on the DGM engine (VERDICT r3 #2):
+            # compile once at a sublane-friendly max-batch tile, mask
+            # collocation rows >= bs at runtime. FN evaluates the
+            # reference protocol (causal is a single-run protocol — see
+            # fused_dgm.make_sweep_evaluator); Fredholm's quadrature
+            # nodes must fit the tile (k <= compile_bs).
+            max_bs = _clamp_batch_cap(problem, max_batch_size)
+            bspec = space.specs.get("batch_size")
+            if isinstance(bspec, randint):
+                max_bs = min(max_bs, bspec.high - 1)
+            compile_bs = -(-max_bs // 64) * 64
+            if problem.name == "fredholm":
+                compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
+            _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
+                                                 max_batch=compile_bs,
+                                                 model=model,
+                                                 schedule=schedule)
 
-        def resolve(c):
-            return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
-                    "batch_size": bs,
-                    "n_iters": min(int(c.get("n_iters", budget)), budget)}
+            def resolve(c):
+                return {"lrate": float(c.get("lrate",
+                                             problem.defaults.lrate)),
+                        "batch_size": min(int(c.get("batch_size", bs)),
+                                          max_bs),
+                        "n_iters": min(int(c.get("n_iters", budget)),
+                                       budget)}
 
-        eval_fn = lambda t, c: _ev(t, c["lrate"], c["n_iters"])
+            eval_fn = lambda t, c: _ev(t, c["lrate"], c["batch_size"],
+                                       c["n_iters"])
+        else:
+            _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
+                                                 batch_size=bs, model=model,
+                                                 schedule=schedule)
+
+            def resolve(c):
+                return {"lrate": float(c.get("lrate",
+                                             problem.defaults.lrate)),
+                        "batch_size": bs,
+                        "n_iters": min(int(c.get("n_iters", budget)),
+                                       budget)}
+
+            eval_fn = lambda t, c: _ev(t, c["lrate"], c["n_iters"])
         unpack_params = lambda m, fl: fused_dgm.unpack_dgm(fl)
     else:
         max_bs = _clamp_batch_cap(problem, max_batch_size)
@@ -519,11 +545,13 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     the DGM engine (batch width is compile-time there); n_iters is OWNED
     by the rung schedule, exactly as in ``successive_halving``.
     ``schedule`` defaults to "constant" (the reference's fixed-lr
-    protocol). Note: restart == promotion holds EXACTLY only for
-    constant lr — a decay schedule's horizon follows each rung's own
-    budget, so a promoted trial re-trains under a longer decay curve
-    (still a valid halving-with-restarts, but rungs re-tune rather than
-    extend the identical trajectory).
+    protocol). Decay schedules keep the identity EXACT too: rung
+    evaluations run with the FIXED max_budget decay horizon
+    (``horizon="fixed"`` on the evaluators — VERDICT r3 #5), so every
+    restart replays the identical lr(t) prefix and the winner's final
+    rung equals a standalone max_budget run of that schedule. (The
+    tpe-fused evaluators use per-trial horizons instead — there each
+    trial's n_iters is a hyperparameter, not a rung checkpoint.)
 
     ``draws`` (dict of [num_samples] config arrays) overrides the random
     draws — how ``tpe_halving_fused`` injects model-proposed configs;
@@ -558,13 +586,14 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
         if mesh is not None:
             _shev = fused_dgm.make_sharded_rung_evaluator(
                 problem, key, max_budget, batch_size=bs, model=model,
-                schedule=schedule, mesh=mesh)
+                schedule=schedule, mesh=mesh, horizon="fixed")
             sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
             eval_fn = None
         else:
             _ev = fused_dgm.make_sweep_evaluator(problem, key, max_budget,
                                                  batch_size=bs, model=model,
-                                                 schedule=schedule)
+                                                 schedule=schedule,
+                                                 horizon="fixed")
             eval_fn = lambda t, lr, b, n: _ev(t, lr, n)
         max_bs = bs
         unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
@@ -583,12 +612,12 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
         if mesh is not None:
             sharded_ev = fused_engine.make_sharded_rung_evaluator(
                 problem, key, max_budget, mesh, max_batch=compile_bs,
-                model=model, schedule=schedule)
+                model=model, schedule=schedule, horizon="fixed")
             eval_fn = None
         else:
             eval_fn = fused_engine.make_sweep_evaluator(
                 problem, key, max_budget, max_batch=compile_bs,
-                model=model, schedule=schedule)
+                model=model, schedule=schedule, horizon="fixed")
         unpack = lambda stacked: fused_engine.unpack_params(model, stacked)
 
     if draws is None:

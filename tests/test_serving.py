@@ -26,3 +26,55 @@ def test_export_roundtrip(key, tmp_path):
         got = np.asarray(fn(t))
         want = np.asarray(model.apply(res.params, t))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+CHILD = """
+import json
+import sys
+
+# Poison the framework package: deserialization must need ONLY jax — if
+# anything under the hood tries to import it, this raises instead of
+# silently using the installed copy (backs the serving.py claim that any
+# JAX runtime can serve the artifact WITHOUT this framework).
+sys.modules["differential_equations_dnn_tpu"] = None
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax import export as jax_export
+
+fn = jax_export.deserialize(open(sys.argv[1], "rb").read()).call
+out = {}
+for n in (3, 17):   # two batch sizes: the batch dim is symbolic
+    x = np.linspace(0.0, 1.0, n).reshape(n, 1).astype("float32")
+    out[str(n)] = np.asarray(fn(x)).tolist()
+print(json.dumps(out))
+"""
+
+
+def test_export_serves_cross_process_without_framework(key, tmp_path):
+    """VERDICT r3 #6: a fresh interpreter that imports ONLY jax (the
+    framework package is poisoned) loads the artifact and serves two
+    different batch sizes with outputs matching the in-process model."""
+    import json
+    import subprocess
+    import sys
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    res = train(prob, key, TrainConfig(iterations=100, batch_size=32,
+                                       lrate=1e-3, verbose=False))
+    path = tmp_path / "simple_ode.stablehlo"
+    export_solution(model.apply, res.params, input_dim=1, path=path)
+    script = tmp_path / "serve_child.py"
+    script.write_text(CHILD)
+    out = subprocess.run([sys.executable, str(script), str(path)],
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    for n in (3, 17):
+        t = jnp.linspace(0.0, 1.0, n)[:, None]
+        want = np.asarray(model.apply(res.params, t))
+        np.testing.assert_allclose(np.asarray(got[str(n)]), want,
+                                   rtol=1e-6, atol=1e-7)

@@ -199,10 +199,7 @@ def test_tpe_search_fused_lr_only_inherits_deployment_schedule(key):
 
 def test_tpe_search_fused_dgm_n_iters_space(key):
     """DGM-spec'd equations sweep {lrate, n_iters} through ONE executable
-    (step-gating-only runtime mode; the batch width stays compile-time
-    because the DGM stream layouts are packed per batch_size). Spaces
-    including batch_size still raise with a pointer to the population
-    TPE."""
+    (step-gating-only runtime mode with the batch width compile-time)."""
     from differential_equations_dnn_tpu.equations import Fredholm2
     from differential_equations_dnn_tpu.sweep import tpe_search_fused
 
@@ -219,10 +216,85 @@ def test_tpe_search_fused_dgm_n_iters_space(key):
     single = {k2: jax.tree.map(lambda a: a[0], v) for k2, v in best.items()}
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
-    bad = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
-                       "batch_size": randint(2, 9)})
-    with pytest.raises(ValueError, match="batch_size"):
-        tpe_search_fused(prob, key, num_samples=2, space=bad, batch_size=8)
+
+def test_tpe_search_fused_dgm_full_space(key):
+    """The FULL reference space {batch_size, n_iters, lrate} now runs on
+    the DGM engine too (VERDICT r3 #2): collocation rows >= bs masked at
+    runtime, quadrature node groups untouched (k is a problem constant)."""
+    from differential_equations_dnn_tpu.equations import (
+        Fredholm2,
+        FitzHughNagumo,
+    )
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 17),
+                         "n_iters": randint(10, 31)})
+    for prob in (Fredholm2(k=10, quadrature="gauss"),
+                 FitzHughNagumo(arch="dgm")):
+        result = tpe_search_fused(prob, key, num_samples=3, space=space,
+                                  max_batch_size=16)
+        assert len(result.configs) == 3
+        assert {"lrate", "batch_size", "n_iters"} <= set(result.configs[0])
+        assert np.isfinite(result.best_score)
+
+
+def test_dgm_sweep_evaluator_bs_matches_unmasked(key):
+    """DGM twin of test_sweep_evaluator_matches_standalone_run: a
+    full-width bs-mode trial must reproduce the unmasked {lrate, n_iters}
+    evaluator on the same stream (the runtime row mask changes WHICH rows
+    count, never the arithmetic of the counted ones), and a masked/short
+    trial must genuinely differ."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.kernels import fused_dgm
+
+    prob = Fredholm2(k=10, quadrature="gauss")
+    ev_bs = fused_dgm.make_sweep_evaluator(prob, key, 24, max_batch=16)
+    losses_a, flat_a = ev_bs(0, 3e-3, 16, 24)   # full width, full budget
+    losses_b, flat_b = ev_bs(0, 3e-3, 7, 15)    # masked width, short budget
+    assert losses_a.shape == (24,)
+    assert losses_b.shape == (15,)
+    assert np.isfinite(losses_a).all() and np.isfinite(losses_b).all()
+    ev = fused_dgm.make_sweep_evaluator(prob, key, 24, batch_size=16)
+    losses_ref, flat_ref = ev(0, 3e-3, 24)
+    np.testing.assert_allclose(losses_a, losses_ref, rtol=1e-6)
+    for a, b in zip(flat_a, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert not np.allclose(losses_b[-1], losses_a[-1])
+
+
+def test_dgm_fn_bs_sweep_uses_reference_protocol(key):
+    """FN batch_size-sweeps evaluate the REFERENCE protocol: the bs-mode
+    evaluator built from the default CAUSAL problem must be bit-identical
+    to one built from the causal_eps=0 problem (same keys, same stream) —
+    causal weighting is a single-run training protocol, and a row-prefix
+    mask over the causal build's time-sorted strata would train short
+    trials on early times only."""
+    from differential_equations_dnn_tpu.equations import FitzHughNagumo
+    from differential_equations_dnn_tpu.kernels import fused_dgm
+
+    causal = FitzHughNagumo(arch="dgm")
+    assert causal.causal_eps > 0.0
+    plain = FitzHughNagumo(arch="dgm", causal_eps=0.0)
+    ev_c = fused_dgm.make_sweep_evaluator(causal, key, 12, max_batch=16)
+    ev_p = fused_dgm.make_sweep_evaluator(plain, key, 12, max_batch=16)
+    for trial, lr, bs, n in [(0, 1e-3, 16, 12), (1, 3e-3, 5, 8)]:
+        lc, fc = ev_c(trial, lr, bs, n)
+        lp, fp = ev_p(trial, lr, bs, n)
+        np.testing.assert_array_equal(lc, lp)
+        for a, b in zip(fc, fp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dgm_fredholm_bs_sweep_guards_quadrature_tile(key):
+    """Fredholm bs-sweeps need the k quadrature nodes inside one max_batch
+    tile (they are NOT batch samples and must not be masked)."""
+    from differential_equations_dnn_tpu.equations import Fredholm2
+    from differential_equations_dnn_tpu.kernels import fused_dgm
+
+    prob = Fredholm2(k=50, quadrature="gauss")
+    with pytest.raises(ValueError, match="quadrature"):
+        fused_dgm.make_sweep_evaluator(prob, key, 12, max_batch=16)
 
 
 def test_tpe_search_fused_full_space(key):
@@ -499,3 +571,53 @@ def test_tpe_search_fused_full_space_cosine_equation(key):
     result = tpe_search_fused(prob, key, num_samples=2, space=space)
     assert len(result.configs) == 2
     assert np.isfinite(result.best_score)
+
+
+def test_halving_fused_decay_promotion_exact(key):
+    """VERDICT r3 #5: halving rungs use the FIXED max_budget decay horizon
+    (horizon="fixed"), so under cosine a b1-budget rung's losses are the
+    exact PREFIX of the b2-budget restart (restart == promotion, now for
+    decay schedules too), and the winner's final rung equals a standalone
+    max_budget cosine run."""
+    from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
+    from differential_equations_dnn_tpu.sweep import halving_search_fused
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    ev = fused_engine.make_sweep_evaluator(prob, key, 48, max_batch=16,
+                                           model=model, schedule="cosine",
+                                           horizon="fixed")
+    l_short, _ = ev(0, 3e-3, 16, 16)
+    l_full, flat_full = ev(0, 3e-3, 16, 48)
+    np.testing.assert_array_equal(l_short, l_full[:16])  # same executable
+    # Per-trial horizons (the tpe-fused semantics) genuinely re-tune:
+    ev_t = fused_engine.make_sweep_evaluator(prob, key, 48, max_batch=16,
+                                             model=model, schedule="cosine",
+                                             horizon="trial")
+    l_t, _ = ev_t(0, 3e-3, 16, 16)
+    assert not np.allclose(l_t, l_full[:16])
+    # Winner's full rung == a standalone max_budget cosine run (the lr
+    # evaluator decays over its own total=48) on the same stream.
+    ev_lr = fused_engine.make_lr_evaluator(prob, key, 48, batch_size=16,
+                                           model=model, schedule="cosine")
+    l_ref, flat_ref = ev_lr(0, 3e-3)
+    np.testing.assert_allclose(l_full, l_ref, rtol=1e-6)
+    for a, b in zip(flat_full, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # DGM twin of the prefix identity.
+    from differential_equations_dnn_tpu.equations import Fredholm2
+
+    fprob = Fredholm2(k=10, quadrature="gauss")
+    dev = fused_dgm.make_sweep_evaluator(fprob, key, 48, batch_size=16,
+                                         schedule="cosine", horizon="fixed")
+    d_short, _ = dev(0, 3e-3, 16)
+    d_full, _ = dev(0, 3e-3, 48)
+    np.testing.assert_array_equal(d_short, d_full[:16])
+    # End-to-end: cosine halving runs and the winner trained to max_budget.
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(4, 17)})
+    res = halving_search_fused(prob, key, num_samples=4, space=space,
+                               min_budget=8, max_budget=32,
+                               schedule="cosine", max_batch_size=16)
+    assert res.best_config["n_iters"] == 32
+    assert np.isfinite(res.best_score)

@@ -1035,7 +1035,9 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
                               steps_per_cell: int | None = None,
                               batch_tile: int | None = None,
                               precision=_HIGH, schedule="constant",
-                              total_steps=1, decay=0.1):
+                              total_steps=1, decay=0.1,
+                              lr_vec=None, bs_vec=None, steps_vec=None,
+                              mask_rows=False, trial_horizon=True):
     """Packed-replica twin of :func:`fused_engine_chunk`: one Pallas
     dispatch advances ``n_replicas`` independent runs by K steps each
     (state tensors replica-stacked — kernels.engine_core.stack_replicas).
@@ -1068,8 +1070,9 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    def step_math(p, u, const):
+    def step_math(p, u, const, batch_mask=None, inv_bs=None):
         return engine_step_math(spec, p, u, u.shape[0], L, precision,
+                                batch_mask=batch_mask, inv_bs=inv_bs,
                                 const=const)
 
     const = (spec.make_const(B // T) if hasattr(spec, "make_const")
@@ -1077,7 +1080,10 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
     return run_fused_packed(step_math, shapes, params, m, v, uniforms,
                             step0, lrate, S, n_replicas, rep_tile=rep_tile,
                             T=T, const=const, schedule=schedule,
-                            total_steps=total_steps, decay=decay)
+                            total_steps=total_steps, decay=decay,
+                            lr_vec=lr_vec, bs_vec=bs_vec,
+                            steps_vec=steps_vec, mask_rows=mask_rows,
+                            trial_horizon=trial_horizon)
 
 
 def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -1454,6 +1460,98 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
         ns = jnp.clip(jnp.asarray(n_iters, jnp.int32), 1, user_max)
         flat_out, finals = sharded(flat, lrs, bss, ns, uniforms)
         return np.asarray(finals), flat_out
+
+    return eval_fn
+
+
+def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
+                               max_batch=512, model=None,
+                               steps_per_cell: int | None = None,
+                               precision: str = "highest",
+                               schedule: str | None = None,
+                               decay: float = 0.1,
+                               horizon: str = "fixed",
+                               rep_tile: int | None = None):
+    """Single-chip counterpart of :func:`make_sharded_rung_evaluator`:
+    evaluate a VECTOR of ``n_slots`` runtime-gated trials in ONE PACKED
+    Mosaic dispatch — each slot trains at its own lr, masks rows ≥ its
+    own batch_size, and freezes at its own n_iters (n_iters=0 = pruned
+    slot that costs nothing). A whole halving rung becomes one dispatch
+    of one executable instead of |rung| sequential tiny-kernel dispatches
+    (VERDICT r3 #3), with the unrolled slot chains overlapping on the
+    MXU/VPU.
+
+    Key-compatible with :func:`make_sweep_evaluator`: identical
+    ``fold_in(init_key, t)`` init folds and collocation stream, so slot
+    results match the sequential evaluator's trials (tight-allclose —
+    different executables).
+
+    Returns ``eval_fn(trial_indices, lrates, batch_sizes, n_iters) ->
+    (final_losses [n_slots], flat_stacked)`` where ``final_losses[i]`` is
+    slot i's loss at ITS OWN budget (+inf for pruned slots) and
+    ``flat_stacked`` is a tuple of [n_slots, ...] tensors."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        stack_replicas,
+        unstack_replicas,
+    )
+
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
+    spec, model, schedule, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, max_batch, model,
+                        precision, schedule)
+    D, O = model.input_dim, model.output_dim
+    L, H = model.num_layers, model.hidden_size
+    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+
+    def init_all(ts):
+        flats = [pack_params(model,
+                             model.init(jax.random.fold_in(init_key, ts[r])))
+                 for r in range(n_slots)]
+        return stack_replicas(flats)
+
+    jinit_all = jax.jit(init_all)
+
+    def run(flat, lrs, bss, ns, u):
+        zeros = tuple(jnp.zeros_like(t) for t in flat)
+        flat, _, _, losses = fused_engine_packed_chunk(
+            spec, model, flat, zeros, zeros, u, 0, lrate=0.0,
+            n_replicas=n_slots, rep_tile=rep_tile,
+            steps_per_cell=steps_per_cell,
+            precision=_PRECISIONS[precision], schedule=schedule,
+            total_steps=user_max, decay=decay,
+            lr_vec=lrs, bs_vec=bss, steps_vec=ns, mask_rows=True,
+            trial_horizon=horizon == "trial")
+        return flat, losses
+
+    ts0 = jnp.arange(n_slots, dtype=jnp.int32)
+    flat0 = jinit_all(ts0)
+    lr0 = jnp.full((n_slots,), 1e-4, jnp.float32)
+    bs0 = jnp.full((n_slots,), max_batch, jnp.int32)
+    ns0 = jnp.full((n_slots,), max_iters, jnp.int32)
+    compiled = cached_compile(jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
+                              label=f"engprk-{problem.name}-{n_slots}")
+
+    def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
+        if len(trial_indices) != n_slots:
+            raise ValueError(f"expected {n_slots} slots "
+                             f"(got {len(trial_indices)})")
+        flat = jinit_all(jnp.asarray(trial_indices, jnp.int32))
+        ns = np.clip(np.asarray(n_iters, np.int64), 0, user_max)
+        flat_out, losses = compiled(
+            flat,
+            jnp.asarray(lrates, jnp.float32),
+            jnp.clip(jnp.asarray(batch_sizes, jnp.int32), 1, max_batch),
+            jnp.asarray(ns, jnp.int32), uniforms)
+        losses = np.asarray(losses)
+        finals = np.where(ns > 0,
+                          losses[np.arange(n_slots), np.maximum(ns - 1, 0)],
+                          np.inf)
+        per_slot = unstack_replicas(tuple(np.asarray(t) for t in flat_out),
+                                    shapes, n_slots)
+        stacked = tuple(jnp.stack([fl[k] for fl in per_slot])
+                        for k in range(len(shapes)))
+        return finals, stacked
 
     return eval_fn
 

@@ -606,7 +606,9 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
                            lrate, n_replicas, rep_tile=None, const=None,
                            steps_per_cell: int | None = None,
                            precision=_HIGH, schedule="constant",
-                           total_steps=1, decay=0.1):
+                           total_steps=1, decay=0.1,
+                           lr_vec=None, bs_vec=None, steps_vec=None,
+                           mask_rows=False, trial_horizon=True):
     """Packed-replica twin of :func:`fused_dgm_chunk`: one Pallas dispatch
     advances ``n_replicas`` independent DGM runs by K steps each (state
     replica-stacked — kernels.engine_core.stack_replicas)."""
@@ -628,16 +630,20 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    def step_math(p, u, c):
+    def step_math(p, u, c, batch_mask=None, inv_bs=None):
         frozen = (spec_with_build(spec, functools.partial(spec.build,
                                                           const=c))
                   if c is not None else spec)
-        return dgm_step_math(frozen, p, u, B, L, precision)
+        return dgm_step_math(frozen, p, u, B, L, precision,
+                             batch_mask=batch_mask, inv_bs=inv_bs)
 
     return run_fused_packed(step_math, shapes, params, m, v, uniforms,
                             step0, lrate, S, n_replicas, rep_tile=rep_tile,
                             const=const, schedule=schedule,
-                            total_steps=total_steps, decay=decay)
+                            total_steps=total_steps, decay=decay,
+                            lr_vec=lr_vec, bs_vec=bs_vec,
+                            steps_vec=steps_vec, mask_rows=mask_rows,
+                            trial_horizon=trial_horizon)
 
 
 def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -884,6 +890,105 @@ def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
         return np.asarray(losses)[:n_iters], p
 
     return eval_fn_bs
+
+
+def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
+                               batch_size=100, max_batch: int | None = None,
+                               model=None,
+                               steps_per_cell: int | None = None,
+                               precision: str = "highest",
+                               schedule: str | None = None,
+                               decay: float = 0.1,
+                               horizon: str = "fixed",
+                               rep_tile: int | None = None):
+    """DGM counterpart of fused_engine.make_packed_rung_evaluator: a
+    whole halving rung as ONE packed dispatch, per-slot lr/n_iters
+    runtime vectors (n_iters=0 = pruned slot). With ``max_batch`` each
+    slot also masks collocation rows ≥ its own batch_size (the bs-sweep
+    semantics of :func:`make_sweep_evaluator`: FN slots evaluate the
+    reference protocol, Fredholm's quadrature nodes must fit the tile).
+
+    Returns ``eval_fn(trial_indices, lrates, batch_sizes, n_iters) ->
+    (final_losses [n_slots], flat_stacked)`` — same contract as the MLP
+    packed evaluator (batch_sizes are clamped to the compile width and
+    ignored unless ``max_batch`` is given)."""
+    from differential_equations_dnn_tpu.kernels.engine_core import (
+        stack_replicas,
+        unstack_replicas,
+    )
+
+    if horizon not in ("trial", "fixed"):
+        raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
+    mask_rows = max_batch is not None
+    if mask_rows:
+        batch_size = int(max_batch)
+        if (problem.name == "fitzhugh_nagumo"
+                and getattr(problem, "causal_eps", 0.0) > 0.0):
+            import dataclasses
+
+            problem = dataclasses.replace(problem, causal_eps=0.0)
+        if problem.name == "fredholm" and problem.k > batch_size:
+            raise ValueError(
+                f"runtime-batch sweeps need the {problem.k} quadrature "
+                f"nodes to fit one max_batch tile (got max_batch="
+                f"{batch_size}); raise max_batch or lower k")
+    spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
+        _sweep_prologue(problem, key, max_iters, batch_size, model,
+                        precision, schedule)
+    D, O = model.input_dim, model.output_dim
+    L, H = model.num_layers, model.hidden_size
+    shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
+              (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
+
+    def init_all(ts):
+        flats = [pack_dgm(model.init(jax.random.fold_in(init_key, ts[r])))
+                 for r in range(n_slots)]
+        return stack_replicas(flats)
+
+    jinit_all = jax.jit(init_all)
+
+    def run(flat, lrs, bss, ns, u):
+        zeros = tuple(jnp.zeros_like(t) for t in flat)
+        flat, _, _, losses = fused_dgm_packed_chunk(
+            spec, model, flat, zeros, zeros, u, 0, lrate=0.0,
+            n_replicas=n_slots, rep_tile=rep_tile, const=const,
+            steps_per_cell=steps_per_cell,
+            precision=_PRECISIONS[precision], schedule=schedule,
+            total_steps=user_max, decay=decay,
+            lr_vec=lrs, bs_vec=bss, steps_vec=ns, mask_rows=mask_rows,
+            trial_horizon=horizon == "trial")
+        return flat, losses
+
+    ts0 = jnp.arange(n_slots, dtype=jnp.int32)
+    flat0 = jinit_all(ts0)
+    lr0 = jnp.full((n_slots,), 1e-4, jnp.float32)
+    bs0 = jnp.full((n_slots,), batch_size, jnp.int32)
+    ns0 = jnp.full((n_slots,), max_iters, jnp.int32)
+    compiled = cached_compile(jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
+                              label=f"dgmprk-{problem.name}-{n_slots}")
+
+    def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
+        if len(trial_indices) != n_slots:
+            raise ValueError(f"expected {n_slots} slots "
+                             f"(got {len(trial_indices)})")
+        flat = jinit_all(jnp.asarray(trial_indices, jnp.int32))
+        ns = np.clip(np.asarray(n_iters, np.int64), 0, user_max)
+        flat_out, losses = compiled(
+            flat,
+            jnp.asarray(lrates, jnp.float32),
+            jnp.clip(jnp.asarray(batch_sizes, jnp.int32), 1, batch_size),
+            jnp.asarray(ns, jnp.int32), uniforms)
+        losses = np.asarray(losses)
+        finals = np.where(ns > 0,
+                          losses[np.arange(n_slots), np.maximum(ns - 1, 0)],
+                          np.inf)
+        per_slot = unstack_replicas(tuple(np.asarray(t) for t in flat_out),
+                                    shapes, n_slots)
+        stacked = tuple(jnp.stack([fl[k] for fl in per_slot])
+                        for k in range(len(shapes)))
+        return finals, stacked
+
+    return eval_fn
 
 
 def make_sharded_rung_evaluator(problem, key, max_iters, mesh,

@@ -370,10 +370,11 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     (the vmapped ``tpe_search`` gets feedback only between rounds).
 
     lr-only spaces route through the leaner fixed-shape evaluator
-    (make_lr_evaluator / the DGM engine's make_trial_evaluator). The DGM
-    engine sweeps {lrate, n_iters} (its stream layouts are packed per
-    batch_size, so the batch width stays compile-time); spaces including
-    batch_size on a DGM-spec'd problem need the population TPE.
+    (make_lr_evaluator / the DGM engine's make_trial_evaluator). Both
+    engines support the full space: the DGM engine compiles at a
+    max-batch tile and masks collocation rows >= bs at runtime
+    (fused_dgm.make_sweep_evaluator — FN sweeps evaluate the reference
+    protocol; Fredholm needs its quadrature nodes to fit the tile).
 
     ``schedule`` sets the per-trial lr schedule. ``None`` (default): lr-
     only sweeps inherit the equation's deployment schedule
@@ -541,9 +542,10 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     between rungs. Total kernel work for the geometric rung schedule is
     ≤ eta/(eta−1) × the continuation cost — at fused-kernel speed.
 
-    The space covers {lrate, batch_size} on the MLP engine or {lrate} on
-    the DGM engine (batch width is compile-time there); n_iters is OWNED
-    by the rung schedule, exactly as in ``successive_halving``.
+    The space covers {lrate, batch_size} on both engines (the DGM
+    engine's packed rungs mask collocation rows >= each slot's bs at
+    runtime; its SHARDED rungs remain lr-only); n_iters is OWNED by the
+    rung schedule, exactly as in ``successive_halving``.
     ``schedule`` defaults to "constant" (the reference's fixed-lr
     protocol). Decay schedules keep the identity EXACT too: rung
     evaluations run with the FIXED max_budget decay horizon
@@ -579,24 +581,48 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     packed_ev = None
     if fused_dgm.supports(problem, model, bs):
         space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1)})
-        if set(space.specs) != {"lrate"}:
+        if not set(space.specs) <= {"lrate", "batch_size"}:
             raise ValueError(
-                "halving_search_fused on the DGM engine sweeps the lrate "
-                "only (batch width is compile-time; n_iters is owned by "
-                "the rung schedule)")
+                "halving_search_fused sweeps lrate/batch_size; n_iters is "
+                f"owned by the rung schedule (got {sorted(space.specs)})")
+        has_bs = "batch_size" in space.specs
         if mesh is not None:
+            if has_bs:
+                raise ValueError(
+                    "sharded DGM rungs sweep the lrate only (the sharded "
+                    "evaluator is step-gated); drop batch_size from the "
+                    "space or drop mesh= (single-chip packed rungs "
+                    "support it)")
             _shev = fused_dgm.make_sharded_rung_evaluator(
                 problem, key, max_budget, batch_size=bs, model=model,
                 schedule=schedule, mesh=mesh, horizon="fixed")
             sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
             eval_fn = None
+            max_bs = bs
+        elif has_bs:
+            # Full {lrate, batch_size} rungs on the DGM engine: packed
+            # dispatches with per-slot runtime row masks (FN slots
+            # evaluate the reference protocol; Fredholm's quadrature
+            # nodes must fit the compile tile — see fused_dgm.
+            # make_sweep_evaluator).
+            max_bs = _clamp_batch_cap(problem, max_batch_size)
+            bspec = space.specs.get("batch_size")
+            if isinstance(bspec, randint):
+                max_bs = min(max_bs, bspec.high - 1)
+            compile_bs = -(-max_bs // 64) * 64
+            if problem.name == "fredholm":
+                compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
+            packed_ev = fused_dgm.make_packed_rung_evaluator(
+                problem, key, max_budget, num_samples,
+                max_batch=compile_bs, model=model, schedule=schedule,
+                horizon="fixed")
+            eval_fn = None
         else:
-            _ev = fused_dgm.make_sweep_evaluator(problem, key, max_budget,
-                                                 batch_size=bs, model=model,
-                                                 schedule=schedule,
-                                                 horizon="fixed")
-            eval_fn = lambda t, lr, b, n: _ev(t, lr, n)
-        max_bs = bs
+            packed_ev = fused_dgm.make_packed_rung_evaluator(
+                problem, key, max_budget, num_samples, batch_size=bs,
+                model=model, schedule=schedule, horizon="fixed")
+            eval_fn = None
+            max_bs = bs
         unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
     else:
         space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1),

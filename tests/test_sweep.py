@@ -444,8 +444,9 @@ def test_tpe_halving_fused_brackets(key):
 
 
 def test_halving_search_fused_dgm_route(key):
-    """DGM-spec'd equations run fused halving lr-only (batch width is
-    compile-time); a space with batch_size raises."""
+    """DGM-spec'd equations run fused halving through packed single-chip
+    rungs; {lrate, batch_size} spaces now work there too (per-slot
+    runtime row masks — round 4)."""
     from differential_equations_dnn_tpu.equations import Fredholm2
     from differential_equations_dnn_tpu.sweep import halving_search_fused
 
@@ -460,11 +461,13 @@ def test_halving_search_fused_dgm_route(key):
     single = {k2: jax.tree.map(lambda a: a[0], v) for k2, v in best.items()}
     assert np.isfinite(prob.mae(prob.default_model().apply, single, nodes=10))
 
-    with pytest.raises(ValueError, match="lrate only"):
-        halving_search_fused(
-            prob, key, num_samples=2, batch_size=8,
-            space=SearchSpace({"lrate": loguniform(1e-4, 1e-2),
-                               "batch_size": randint(2, 9)}))
+    res_bs = halving_search_fused(
+        prob, key, num_samples=2, eta=2, min_budget=6, max_budget=12,
+        max_batch_size=16,
+        space=SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                           "batch_size": randint(11, 17)}))
+    assert np.isfinite(res_bs.best_score)
+    assert 11 <= res_bs.best_config["batch_size"] < 17
 
 
 def test_sweep_evaluator_matches_standalone_run(key):

@@ -992,21 +992,27 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
 
 
 def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
-                                batch_size=100, model=None,
+                                batch_size=100, max_batch: int | None = None,
+                                model=None,
                                 steps_per_cell: int | None = None,
                                 precision: str = "highest",
                                 schedule: str | None = None,
                                 decay: float = 0.1,
                                 horizon: str = "trial"):
     """DGM counterpart of fused_engine.make_sharded_rung_evaluator:
-    evaluate a VECTOR of step-gated trials (lr + n_iters runtime; batch
-    width compile-time) in ONE dispatch, trials sharded over ``mesh``'s
-    'pop' axis via ``jax.shard_map``. Key-compatible with
-    :func:`make_sweep_evaluator` — identical init folds and collocation
-    stream — so a sharded rung reproduces the sequential trials exactly.
+    evaluate a VECTOR of step-gated trials (lr + n_iters runtime) in ONE
+    dispatch, trials sharded over ``mesh``'s 'pop' axis via
+    ``jax.shard_map``. Key-compatible with :func:`make_sweep_evaluator`
+    — identical init folds and collocation stream — so a sharded rung
+    reproduces the sequential trials exactly.
 
-    Returns ``eval_fn(trial_indices, lrates, n_iters) ->
-    (final_losses [P], flat_stacked)``; P must be a multiple of the
+    ``max_batch=None``: batch width is compile-time —
+    ``eval_fn(trial_indices, lrates, n_iters)``. ``max_batch=M``: each
+    trial additionally masks collocation rows ≥ its own batch_size
+    (:func:`make_sweep_evaluator`'s bs-sweep semantics, same FN/Fredholm
+    guards) — ``eval_fn(trial_indices, lrates, batch_sizes, n_iters)``.
+
+    Returns final_losses [P] + flat_stacked; P must be a multiple of the
     'pop' axis size (pad by repeating trials). ``horizon`` as in
     :func:`make_sweep_evaluator` ("fixed" = the halving schedulers'
     exact-promotion continuation semantics)."""
@@ -1014,6 +1020,19 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
 
     if horizon not in ("trial", "fixed"):
         raise ValueError(f"horizon must be 'trial' or 'fixed' ({horizon!r})")
+    mask_rows = max_batch is not None
+    if mask_rows:
+        batch_size = int(max_batch)
+        if (problem.name == "fitzhugh_nagumo"
+                and getattr(problem, "causal_eps", 0.0) > 0.0):
+            import dataclasses
+
+            problem = dataclasses.replace(problem, causal_eps=0.0)
+        if problem.name == "fredholm" and problem.k > batch_size:
+            raise ValueError(
+                f"runtime-batch sweeps need the {problem.k} quadrature "
+                f"nodes to fit one max_batch tile (got max_batch="
+                f"{batch_size}); raise max_batch or lower k")
     spec, model, schedule, const, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, batch_size, model,
                         precision, schedule)
@@ -1026,7 +1045,7 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     _init_all = jax.jit(lambda ts: jax.vmap(
         lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
 
-    def run_local(flat_local, lrs, ns, u):
+    def run_local(flat_local, lrs, bss, ns, u):
         outs_p, finals = [], []
         n_tensors = len(flat_local)
         for j in range(flat_local[0].shape[0]):
@@ -1037,6 +1056,7 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                 const=const, steps_per_cell=steps_per_cell,
                 precision=_PRECISIONS[precision], schedule=schedule,
                 total_steps=user_max, decay=decay, runtime_steps=ns[j],
+                runtime_bs=bss[j] if mask_rows else None,
                 trial_horizon=horizon == "trial")
             outs_p.append(p)
             finals.append(jnp.take(lo, ns[j] - 1))
@@ -1048,11 +1068,11 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     sharded = jax.jit(jax.shard_map(
         run_local, mesh=mesh,
         in_specs=(tuple(pspec for _ in range(_N_TENSORS)),
-                  pspec, pspec, PartitionSpec()),
+                  pspec, pspec, pspec, PartitionSpec()),
         out_specs=(tuple(pspec for _ in range(_N_TENSORS)), pspec),
         check_vma=False))
 
-    def eval_fn(trial_indices, lrates, n_iters):
+    def _run(trial_indices, lrates, batch_sizes, n_iters):
         P = len(trial_indices)
         if P % n_shards:
             raise ValueError(f"{P} trials not divisible by the "
@@ -1062,9 +1082,17 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
         flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
                      for t in flat)
         lrs = jnp.asarray(lrates, jnp.float32)
+        bss = jnp.clip(jnp.asarray(batch_sizes, jnp.int32), 1, batch_size)
         ns = jnp.clip(jnp.asarray(n_iters, jnp.int32), 1, user_max)
-        flat_out, finals = sharded(flat, lrs, ns, uniforms)
+        flat_out, finals = sharded(flat, lrs, bss, ns, uniforms)
         return np.asarray(finals), flat_out
+
+    if mask_rows:
+        return _run
+
+    def eval_fn(trial_indices, lrates, n_iters):
+        full = [batch_size] * len(trial_indices)
+        return _run(trial_indices, lrates, full, n_iters)
 
     return eval_fn
 

@@ -141,8 +141,12 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
 
     v_step = jax.vmap(trial_step, in_axes=(0, 0, 0, 0, None, 0, 0))
 
+    # trial_keys/lrates/batch_sizes enter as ARGUMENTS, not closures: on a
+    # multi-process global mesh, jit cannot close over arrays spanning
+    # non-addressable devices.
     @partial(jax.jit, static_argnames=("length",))
-    def run_chunk(params, state, opt_state, start, length):
+    def run_chunk(params, state, opt_state, trial_keys, lrates, batch_sizes,
+                  start, length):
         def body(carry, i):
             params, state, opt_state = carry
             params, state, opt_state, loss = v_step(
@@ -162,8 +166,8 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
     with compile_timer:
         if n_full > 0:
             compiled_chunk = cached_compile(
-                run_chunk, params, state, opt_state, 0, length=chunk,
-                label=f"pop-{problem.name}")
+                run_chunk, params, state, opt_state, trial_keys, lrates,
+                batch_sizes, 0, length=chunk, label=f"pop-{problem.name}")
     losses_out = []
     done = 0
     run_timer = Timer()
@@ -172,11 +176,13 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
             if length == chunk and compiled_chunk is not None:
                 # AOT Compiled objects take only the dynamic args.
                 params, state, opt_state, losses = compiled_chunk(
-                    params, state, opt_state, done)
+                    params, state, opt_state, trial_keys, lrates,
+                    batch_sizes, done)
             else:
                 params, state, opt_state, losses = run_chunk(
-                    params, state, opt_state, done, length)
-            losses_out.append(np.asarray(losses))
+                    params, state, opt_state, trial_keys, lrates,
+                    batch_sizes, done, length)
+            losses_out.append(_host_losses(losses))
             done += length
         jax.block_until_ready(params)
 
@@ -186,6 +192,18 @@ def train_population(problem, model, key, lrates, batch_sizes=None,
         timings["state"] = state
     losses = np.concatenate(losses_out) if losses_out else np.zeros((0, n_trials))
     return params, opt_state, losses
+
+
+def _host_losses(losses):
+    """Fetch a [chunk, P] loss block to host. On a multi-process global mesh
+    the block's population axis spans non-addressable devices — gather it
+    across processes first (every process gets the full block, matching the
+    single-process return contract)."""
+    if isinstance(losses, jax.Array) and not losses.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        losses = multihost_utils.process_allgather(losses, tiled=True)
+    return np.asarray(losses)
 
 
 def take_trials(stacked_tree, indices):

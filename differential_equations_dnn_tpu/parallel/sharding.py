@@ -12,17 +12,30 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _put(a, sharding):
+    """Place one array under ``sharding``. Multi-process (global) meshes
+    contain devices this process cannot address — ``device_put`` rejects
+    those, so each process contributes its addressable shards from the
+    (identically computed on every process) full-shape value instead."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(a, sharding)
+    import jax.numpy as jnp
+
+    return jax.make_array_from_callback(jnp.shape(a), sharding,
+                                        lambda idx: a[idx])
+
+
 def shard_batch(batch, mesh, axis: str = "data"):
     """Place every leaf of a batch pytree sharded along its leading
     (collocation / population) dimension over mesh axis ``axis``."""
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    return jax.tree.map(lambda a: _put(a, sharding), batch)
 
 
 def replicate(tree, mesh):
     """Fully replicate a pytree (params / opt_state) across the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree.map(lambda a: _put(a, sharding), tree)
 
 
 def constrain_batch(batch, mesh, axis: str = "data"):

@@ -355,7 +355,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                      batch_size: int | None = None,
                      max_batch_size: int = 512,
                      gamma: float = 0.25,
-                     schedule: str | None = None) -> SweepResult:
+                     schedule: str | None = None,
+                     q: int = 1) -> SweepResult:
     """TPE with every proposal trained inside the fused Pallas kernel
     through ONE compiled executable.
 
@@ -542,9 +543,9 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     between rungs. Total kernel work for the geometric rung schedule is
     ≤ eta/(eta−1) × the continuation cost — at fused-kernel speed.
 
-    The space covers {lrate, batch_size} on both engines (the DGM
-    engine's packed rungs mask collocation rows >= each slot's bs at
-    runtime; its SHARDED rungs remain lr-only); n_iters is OWNED by the
+    The space covers {lrate, batch_size} on both engines and on both the
+    packed (single-chip) and sharded (mesh) rung evaluators — per-trial
+    runtime row masks over a max-batch tile; n_iters is OWNED by the
     rung schedule, exactly as in ``successive_halving``.
     ``schedule`` defaults to "constant" (the reference's fixed-lr
     protocol). Decay schedules keep the identity EXACT too: rung
@@ -586,25 +587,11 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                 "halving_search_fused sweeps lrate/batch_size; n_iters is "
                 f"owned by the rung schedule (got {sorted(space.specs)})")
         has_bs = "batch_size" in space.specs
-        if mesh is not None:
-            if has_bs:
-                raise ValueError(
-                    "sharded DGM rungs sweep the lrate only (the sharded "
-                    "evaluator is step-gated); drop batch_size from the "
-                    "space or drop mesh= (single-chip packed rungs "
-                    "support it)")
-            _shev = fused_dgm.make_sharded_rung_evaluator(
-                problem, key, max_budget, batch_size=bs, model=model,
-                schedule=schedule, mesh=mesh, horizon="fixed")
-            sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
-            eval_fn = None
-            max_bs = bs
-        elif has_bs:
-            # Full {lrate, batch_size} rungs on the DGM engine: packed
-            # dispatches with per-slot runtime row masks (FN slots
-            # evaluate the reference protocol; Fredholm's quadrature
-            # nodes must fit the compile tile — see fused_dgm.
-            # make_sweep_evaluator).
+        if has_bs:
+            # Full {lrate, batch_size} rungs on the DGM engine: per-slot
+            # runtime row masks (FN slots evaluate the reference
+            # protocol; Fredholm's quadrature nodes must fit the compile
+            # tile — see fused_dgm.make_sweep_evaluator).
             max_bs = _clamp_batch_cap(problem, max_batch_size)
             bspec = space.specs.get("batch_size")
             if isinstance(bspec, randint):
@@ -612,17 +599,26 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
             compile_bs = -(-max_bs // 64) * 64
             if problem.name == "fredholm":
                 compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
-            packed_ev = fused_dgm.make_packed_rung_evaluator(
-                problem, key, max_budget, num_samples,
+        else:
+            max_bs = bs
+            compile_bs = None
+        if mesh is not None:
+            sharded_ev = fused_dgm.make_sharded_rung_evaluator(
+                problem, key, max_budget, mesh, batch_size=bs,
                 max_batch=compile_bs, model=model, schedule=schedule,
                 horizon="fixed")
+            if not has_bs:
+                _shev = sharded_ev
+                sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
             eval_fn = None
         else:
+            # Single-chip rungs run PACKED (one dispatch per rung,
+            # per-slot lr/bs/n_iters runtime vectors — VERDICT r3 #3).
             packed_ev = fused_dgm.make_packed_rung_evaluator(
-                problem, key, max_budget, num_samples, batch_size=bs,
-                model=model, schedule=schedule, horizon="fixed")
+                problem, key, max_budget, num_samples,
+                batch_size=bs, max_batch=compile_bs, model=model,
+                schedule=schedule, horizon="fixed")
             eval_fn = None
-            max_bs = bs
         unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
     else:
         space = space or SearchSpace({"lrate": loguniform(1e-4, 1e-1),

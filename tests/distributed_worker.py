@@ -55,7 +55,7 @@ def main(port: str, process_id: int) -> None:
     # One real data-parallel training step over the global mesh: collocation
     # batch sharded across both processes' devices, params replicated,
     # gradient psum crossing the process boundary.
-    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.equations import Heat1D, SimpleODE
     from differential_equations_dnn_tpu.train import TrainConfig, train
 
     cfg = TrainConfig(iterations=1, batch_size=16, chunk_size=1,
@@ -64,6 +64,28 @@ def main(port: str, process_id: int) -> None:
     loss = float(result.loss_history[-1])
     assert np.isfinite(loss), loss
     print(f"DIST OK process={process_id} loss={loss:.6f}", flush=True)
+
+    # Topology parity: a 5-step DP run over the 2-process global mesh must
+    # match the single-process 8-device run of the SAME program (the test
+    # re-runs this in-process and compares) — collocation draws are
+    # key-derived, so the only topology-sensitive piece is the psum.
+    cfg5 = TrainConfig(iterations=5, batch_size=16, chunk_size=5,
+                      verbose=False, snapshot_every=0)
+    r5 = train(Heat1D(), jax.random.key(1), cfg5, mesh=mesh)
+    print(f"DIST DP5 process={process_id} "
+          f"loss={float(r5.loss_history[-1])!r}", flush=True)
+
+    # Cross-process population sweep: 8 trials vmapped + sharded over a
+    # global 'pop' mesh spanning both processes — the Ray Tune role
+    # (optimize_heat_ray.py:184-198) with zero driver/worker RPC.
+    from differential_equations_dnn_tpu.sweep import random_search
+
+    pop_mesh = global_mesh({"pop": 8})
+    res = random_search(SimpleODE(), jax.random.key(2), num_samples=8,
+                        max_iters=40, mesh=pop_mesh, seed=3, chunk_size=20)
+    assert np.isfinite(res.best_score)
+    print(f"DIST SWEEP process={process_id} "
+          f"best={float(res.best_score)!r}", flush=True)
 
 
 if __name__ == "__main__":

@@ -391,6 +391,20 @@ def test_halving_search_fused_sharded_matches_sequential(key):
                     jax.tree.leaves(dseq.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # DGM route with a batch_size space (round 4): sharded rungs carry
+    # per-trial runtime row masks too — same packed-vs-sharded agreement.
+    dspace = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                          "batch_size": randint(5, 11)})
+    dkw2 = dict(num_samples=4, eta=2, min_budget=6, max_budget=24,
+                max_batch_size=16, seed=3, space=dspace)
+    dseq2 = halving_search_fused(dprob, key, **dkw2)
+    dsh2 = halving_search_fused(dprob, key, mesh=make_mesh({"pop": 2}),
+                                **dkw2)
+    np.testing.assert_allclose(dsh2.scores, dseq2.scores,
+                               rtol=1e-5, atol=1e-7)
+    assert dsh2.best_index == dseq2.best_index
+    assert 5 <= dsh2.best_config["batch_size"] < 11
+
 
 def test_halving_guards_and_single_trial(key):
     """Regression: eta<2 raises instead of spinning forever (both tiers);

@@ -495,7 +495,7 @@ def _cmd_sweep(args):
             problem, key, num_samples=args.num_samples,
             max_iters=args.max_iters, seed=args.seed, space=space,
             max_batch_size=args.max_batch_size,
-            schedule=args.lr_schedule,
+            schedule=args.lr_schedule, q=args.concurrent,
         )
     else:
         result = random_search(
@@ -677,6 +677,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "use constant (the reference's fixed-lr protocol — "
                         "and the only schedule under which a halving "
                         "promotion extends the identical trajectory)")
+    p.add_argument("--concurrent", type=int, default=1,
+                   help="tpe-fused: q concurrent proposals per TPE round, "
+                        "each round ONE packed kernel dispatch (the "
+                        "reference's ConcurrencyLimiter(max_concurrent=5), "
+                        "optimize_heat_ray.py:180, made MXU-filling)")
     p.add_argument("--space", choices=["full", "lr"], default="full",
                    help="tpe-fused search space: full = the reference's "
                         "batch_size/n_iters/lrate "

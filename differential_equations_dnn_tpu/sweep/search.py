@@ -383,7 +383,13 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     spaces with a per-trial n_iters default to "constant", the
     reference's fixed-lr Optuna protocol. Pass "cosine"/"exponential"
     explicitly to decay over each trial's own n_iters via the runtime
-    in-kernel horizon."""
+    in-kernel horizon.
+
+    ``q`` (default 1) proposes q trials per TPE round and trains each
+    round as ONE packed Mosaic dispatch — the reference's
+    ``ConcurrencyLimiter(max_concurrent=5)`` role
+    (optimize_heat_ray.py:180) made MXU-filling instead of
+    process-parallel; see :func:`_tpe_fused_batched`."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
@@ -402,6 +408,12 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                        else problem.defaults.iterations))
     if not lr_only and schedule is None:
         schedule = "constant"
+    if q < 1:
+        raise ValueError(f"q (concurrent proposals) must be >= 1 (got {q})")
+    if q > 1:
+        return _tpe_fused_batched(problem, key, num_samples, seed, model,
+                                  space, budget, bs, max_batch_size, gamma,
+                                  schedule, q)
 
     if lr_only and fused_dgm.supports(problem, model, bs):
         _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
@@ -515,6 +527,85 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
 
         params = _jax.tree.map(lambda a: a[None],
                                unpack_params(model, best[2]))
+    return SweepResult(configs=configs, scores=np.asarray(scores),
+                       losses=None, params=params,
+                       param_indices=np.array([best_idx]))
+
+
+def _tpe_fused_batched(problem, key, num_samples, seed, model, space,
+                       budget, bs, max_batch_size, gamma, schedule, q):
+    """Batched TPE on the packed fused tier (``tpe_search_fused(q>1)``):
+    rounds of q concurrent proposals — the reference's
+    ``ConcurrencyLimiter(max_concurrent=5)`` role
+    (optimize_heat_ray.py:180) — each round trained as ONE packed Mosaic
+    dispatch (``make_packed_rung_evaluator``, both engines). Proposals
+    within a round share the surrogate state (batched-BO semantics; the
+    sampler's forced-diversity radius provides in-batch spread), so
+    results differ from q=1's fully-sequential proposals — the trade is
+    q× fewer dispatches and q MXU/VPU chains overlapping in-kernel. A
+    short final round pads its unused slots with n_iters=0 (pruned
+    in-kernel, ~free)."""
+    from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
+    from differential_equations_dnn_tpu.sweep.tpe import TPESampler
+
+    q = min(q, num_samples)
+    has_bs = "batch_size" in space.specs
+    max_bs = _clamp_batch_cap(problem, max_batch_size)
+    bspec = space.specs.get("batch_size")
+    if isinstance(bspec, randint):
+        max_bs = min(max_bs, bspec.high - 1)
+    cap = max_bs if has_bs else bs
+    if fused_dgm.supports(problem, model, bs):
+        compile_bs = None
+        if has_bs:
+            compile_bs = -(-max_bs // 64) * 64
+            if problem.name == "fredholm":
+                compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
+        ev = fused_dgm.make_packed_rung_evaluator(
+            problem, key, budget, q, batch_size=bs, max_batch=compile_bs,
+            model=model, schedule=schedule, horizon="trial")
+        unpack = lambda fl: fused_dgm.unpack_dgm(fl)
+    else:
+        compile_bs = -(-cap // 64) * 64
+        ev = fused_engine.make_packed_rung_evaluator(
+            problem, key, budget, q, max_batch=compile_bs, model=model,
+            schedule=schedule, horizon="trial")
+        unpack = lambda fl: fused_engine.unpack_params(model, fl)
+
+    def resolve(c):
+        return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
+                "batch_size": min(int(c.get("batch_size", bs)), cap),
+                "n_iters": min(int(c.get("n_iters", budget)), budget)}
+
+    sampler = TPESampler(space=space, seed=seed, gamma=gamma,
+                         n_initial=min(4, num_samples))
+    configs: list[dict] = []
+    scores: list[float] = []
+    best = None
+    t0 = 0
+    while t0 < num_samples:
+        n = min(q, num_samples - t0)
+        batch = [resolve(c) for c in sampler.ask(n)]
+        pad = q - n
+        finals, stacked = ev(
+            list(range(t0, t0 + q)),
+            [c["lrate"] for c in batch] + [0.0] * pad,
+            [c["batch_size"] for c in batch] + [1] * pad,
+            [c["n_iters"] for c in batch] + [0] * pad)
+        round_scores = [float(finals[j]) for j in range(n)]
+        sampler.tell(batch, round_scores)
+        for j, (cfg, loss) in enumerate(zip(batch, round_scores)):
+            configs.append(cfg)
+            scores.append(loss)
+            if np.isfinite(loss) and (best is None or loss < best[0]):
+                best = (loss, t0 + j,
+                        tuple(np.asarray(t[j]) for t in stacked))
+        t0 += n
+    params = None
+    best_idx = int(np.nanargmin(np.where(np.isfinite(scores), scores,
+                                         np.inf)))
+    if best is not None:
+        params = jax.tree.map(lambda a: a[None], unpack(best[2]))
     return SweepResult(configs=configs, scores=np.asarray(scores),
                        losses=None, params=params,
                        param_indices=np.array([best_idx]))

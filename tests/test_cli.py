@@ -78,6 +78,18 @@ def test_sweep_asha_fused_subcommand(tmp_path):
         assert data["best_config"]["n_iters"] == 24  # winner fully trained
 
 
+def test_sweep_tpe_fused_concurrent_subcommand(tmp_path):
+    """--scheduler tpe-fused --concurrent q: rounds of q proposals, each
+    round one packed dispatch (the reference's max_concurrent=5 role)."""
+    rd = str(tmp_path / "tr_conc")
+    main(["sweep", "--equation", "simple_ode", "--scheduler", "tpe-fused",
+          "--num-samples", "5", "--concurrent", "2", "--max-iters", "24",
+          "--max-batch-size", "8", "--results-dir", rd, "--seed", "1"])
+    data = json.loads((Path(rd) / "sweep_simple_ode.json").read_text())
+    assert len(data["configs"]) == 5
+    assert "best_config" in data
+
+
 def test_ablation_batchnorm_subcommand(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rd = str(tmp_path / "temp_results")

@@ -438,6 +438,31 @@ def run_sweep() -> None:
     _extras["fused_full_budget_trials_per_min"] = round(n * 60.0 / dt, 1)
     _extras["fused_trials_config"] = (
         f"lr evaluator, {ITERATIONS} iters x batch {BATCH} per trial")
+    emit()
+    # Batched TPE (round 4): 8 full-budget proposals per round, each round
+    # ONE packed dispatch — the MXU-filling sweep path vs the sequential
+    # number above.
+    if remaining() > 120.0:
+        from differential_equations_dnn_tpu.sweep import (
+            SearchSpace,
+            loguniform,
+            tpe_search_fused,
+        )
+
+        space = SearchSpace({"lrate": loguniform(1e-4, 1e-2)})
+        t0 = time.perf_counter()
+        tpe_search_fused(problem, jax.random.key(0), num_samples=8, q=8,
+                         max_iters=ITERATIONS, batch_size=BATCH, space=space)
+        dt = time.perf_counter() - t0
+        _extras["packed_tpe_q8_trials_per_min_incl_compile"] = round(
+            8 * 60.0 / dt, 1)
+        t0 = time.perf_counter()
+        tpe_search_fused(problem, jax.random.key(1), num_samples=8, q=8,
+                         max_iters=ITERATIONS, batch_size=BATCH, space=space)
+        dt = time.perf_counter() - t0
+        _extras["packed_tpe_q8_trials_per_min"] = round(8 * 60.0 / dt, 1)
+    else:
+        _extras["packed_tpe_skipped"] = "budget"
 
 
 def run_packed() -> None:

@@ -8,6 +8,7 @@ mkdir -p temp_results
 stamp=$(date +%Y%m%d_%H%M%S)
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "temp_results/r4_tpu_${stamp}.log"; }
 
+log "HEAD: $(git rev-parse --short HEAD 2>/dev/null)"
 log "=== stage 1: smoke (29 cases incl. volterra fused) ==="
 timeout 3600 python benchmarks/smoke_tpu.py 2>&1 | tail -45 | tee -a "temp_results/r4_smoke_${stamp}.log"
 log "smoke rc=$?"

@@ -219,7 +219,12 @@ def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
 
     State layout: tensor k is [R_TILE·leads[k], ...] in VMEM — the replica
     axis folded into the leading dim (``_lead``) keeps every operand ≤3-D.
-    Loss rows are lane-packed per replica: loss_ref[cell, r·128 + s]."""
+    Loss rows are ROW-stacked per replica: loss_ref[r·(K/S) + cell, s].
+    (Lane-packing them at loss_ref[cell, r·128+s] does not lower — Mosaic
+    rejects a dynamic-row load that also takes a 128-lane column window of
+    a wider memref: "dynamic load with unaligned indices", observed on
+    v5e. Full-width (1, 128) slices at a dynamic row are the pattern the
+    single-replica kernel already proves.)"""
     if per_rep:
         lrv_ref, bsv_ref, nsv_ref, u_ref, *refs = rest
     else:
@@ -299,11 +304,11 @@ def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
                     inv = 1.0 / T
                     loss = loss * inv
                     grads = tuple(g * inv for g in grads)
+                li = r * pl.num_programs(1) + i
                 row = jnp.where(
                     s == 0, jnp.zeros((1, 128), jnp.float32),
-                    loss_ref[pl.ds(i, 1), r * 128:(r + 1) * 128])
-                loss_ref[pl.ds(i, 1), r * 128:(r + 1) * 128] = jnp.where(
-                    lane == s, loss, row)
+                    loss_ref[pl.ds(li, 1), :])
+                loss_ref[pl.ds(li, 1), :] = jnp.where(lane == s, loss, row)
                 for k in range(n_tensors):
                     p_new, m_new, v_new = _adam_update(
                         p_out[k][sl[k]], m_out[k][sl[k]], v_out[k][sl[k]],
@@ -415,12 +420,13 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
             + state_specs * 3
         ),
         out_specs=(
-            [pl.BlockSpec((K // S, rep_tile * 128), lambda g, i: (0, g),
+            [pl.BlockSpec((rep_tile * (K // S), 128), lambda g, i: (g, 0),
                           memory_space=pltpu.VMEM)]
             + state_specs * 3
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((K // S, n_replicas * 128), jnp.float32)]
+            [jax.ShapeDtypeStruct((n_replicas * (K // S), 128),
+                                  jnp.float32)]
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in full] * 3
         ),
         interpret=_interpret(),
@@ -428,9 +434,9 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
       jnp.asarray(lrate, jnp.float32).reshape(1), *rep_args, uniforms,
       *const_arg, *params, *m, *v)
 
-    # losses: lane-unpack [K/S, N·128] -> [N, K]
-    hist = out[0].reshape(K // S, n_replicas, 128)[:, :, :S]
-    losses = jnp.transpose(hist, (1, 0, 2)).reshape(n_replicas, K)
+    # losses: row-unstack [N·(K/S), 128] -> [N, K]
+    hist = out[0].reshape(n_replicas, K // S, 128)[:, :, :S]
+    losses = hist.reshape(n_replicas, K)
     n = n_tensors
     return tuple(out[1:1 + n]), tuple(out[1 + n:1 + 2 * n]), \
         tuple(out[1 + 2 * n:1 + 3 * n]), losses

@@ -49,6 +49,8 @@ from differential_equations_dnn_tpu.kernels.aot_cache import (
 from differential_equations_dnn_tpu.kernels.fused_engine import (
     Group,
     _bias_mask,
+    _kmean,
+    _ksum,
     _largest_divisor_leq,
     _n_rows,
 )
@@ -234,8 +236,11 @@ def dgm_step_math(spec, params, u, B, L, precision=_HIGH,
 
     R = _n_rows(groups)
     outs = tuple(out[k * B:(k + 1) * B] for k in range(R))
-    # Elementwise loss cotangent — the one part left to autodiff (tiny graph).
-    loss, gouts = jax.value_and_grad(lambda o: spec.loss(o, ctx))(outs)
+    # Elementwise loss cotangent — the one part left to autodiff (tiny
+    # graph). vjp (not value_and_grad) because spec losses are [1, 1]
+    # keepdims values, never rank-0 (see fused_engine._ksum).
+    loss, vjp_fn = jax.vjp(lambda o: spec.loss(o, ctx), outs)
+    gouts, = vjp_fn(jnp.ones_like(loss))
     G = jnp.concatenate(gouts, 0)
 
     # ---- hand backward through the gate recurrence ----
@@ -354,12 +359,12 @@ class FNDGMSpec:
             # a row-prefix mask over time-sorted strata would train short
             # trials on early times only.)
             inv_bs = ctx["inv_bs"]
-            return (jnp.sum(r2 * mask) * inv_bs
-                    + jnp.sum(jnp.square(s0 - p.y_ic) * mask) * inv_bs)
-        ic = jnp.mean(jnp.square(s0 - p.y_ic))
+            return (_ksum(r2 * mask) * inv_bs
+                    + _ksum(jnp.square(s0 - p.y_ic) * mask) * inv_bs)
+        ic = _kmean(jnp.square(s0 - p.y_ic))
         if p.causal_eps <= 0.0:
             # mean(r_y²)+mean(r_w²)+mean((s0−ic)²) = 2·mean_full(r²) + ...
-            return 2.0 * jnp.mean(r2) + ic
+            return 2.0 * _kmean(r2) + ic
         # Causal weights w_i = exp(−ε·Δt·Σ_{j<i} ℓ_j), ℓ = r_y² + r_w²:
         # rows are time-sorted (stratified build), the exclusive cumsum is
         # a strictly-lower-triangular matmul, and the per-row sum ℓ rides
@@ -373,7 +378,7 @@ class FNDGMSpec:
         cum = jnp.dot(tri, ell, precision=_HIGH) * (p.t_max / B)
         wgt = jax.lax.stop_gradient(jnp.exp(-p.causal_eps * cum))
         # mean_i(w_i·ℓ_i) = 2·mean over [B,2] of (w ⊙ r²).
-        return 2.0 * jnp.mean(wgt * r2) + ic
+        return 2.0 * _kmean(wgt * r2) + ic
 
 
 @dataclass(frozen=True)
@@ -412,12 +417,14 @@ class FredholmDGMSpec:
     def loss(self, outs, ctx):
         x, const = ctx["x"], ctx["const"]
         y_x = outs[0]
-        # integral ≈ Σ_j w_j·cos(t_j)·y(t_j): scalar, shared by all samples.
-        integral = 0.0
+        # integral ≈ Σ_j w_j·cos(t_j)·y(t_j): one [1, 1] value shared by
+        # all samples (keepdims — a scalar would batch to a Mosaic-fatal
+        # 1-D vector under the packed-interleave vmap, see _ksum).
+        integral = jnp.zeros((1, 1), y_x.dtype)
         for j in range(self.n_groups - 1):
             t_j = const[2 * j]
             w_j = const[2 * j + 1]
-            integral = integral + jnp.sum(w_j * jnp.cos(t_j) * outs[1 + j])
+            integral = integral + _ksum(w_j * jnp.cos(t_j) * outs[1 + j])
         r = y_x - jnp.sin(x) * (1.0 + integral)
         mask = ctx.get("mask") if isinstance(ctx, dict) else None
         if mask is not None:
@@ -425,8 +432,8 @@ class FredholmDGMSpec:
             # quadrature node groups are not batch samples (their k is a
             # problem constant; zero-padded weights already silence the
             # padding), so the integral is untouched.
-            return jnp.sum(jnp.square(r) * mask) * ctx["inv_bs"]
-        return jnp.mean(jnp.square(r))
+            return _ksum(jnp.square(r) * mask) * ctx["inv_bs"]
+        return _kmean(jnp.square(r))
 
 
 def spec_for(problem, batch_size=None):
@@ -608,10 +615,17 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
                            precision=_HIGH, schedule="constant",
                            total_steps=1, decay=0.1,
                            lr_vec=None, bs_vec=None, steps_vec=None,
-                           mask_rows=False, trial_horizon=True):
+                           mask_rows=False, trial_horizon=True,
+                           interleave=None):
     """Packed-replica twin of :func:`fused_dgm_chunk`: one Pallas dispatch
     advances ``n_replicas`` independent DGM runs by K steps each (state
-    replica-stacked — kernels.engine_core.stack_replicas)."""
+    replica-stacked — kernels.engine_core.stack_replicas).
+
+    ``interleave`` (default OFF — measured 58x slower end-to-end on the
+    MLP engine, 2026-08-18 v5e; see fused_engine_packed_chunk's
+    docstring): vmap the step math over the replica axis so each stage
+    issues its replica group's independent MXU ops adjacently. Kept as
+    an option so the negative result stays reproducible."""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_packed,
     )
@@ -630,12 +644,34 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    def step_math(p, u, c, batch_mask=None, inv_bs=None):
-        frozen = (spec_with_build(spec, functools.partial(spec.build,
-                                                          const=c))
-                  if c is not None else spec)
-        return dgm_step_math(frozen, p, u, B, L, precision,
-                             batch_mask=batch_mask, inv_bs=inv_bs)
+    per_rep = (lr_vec is not None or bs_vec is not None
+               or steps_vec is not None)
+    if interleave is None:
+        interleave = False
+
+    if interleave:
+        rt = rep_tile
+
+        def step_math(p_blocks, u, c):
+            frozen = (spec_with_build(spec, functools.partial(spec.build,
+                                                              const=c))
+                      if c is not None else spec)
+            pv = tuple(b.reshape((rt,) + tuple(s))
+                       for b, s in zip(p_blocks, shapes))
+            loss, grads = jax.vmap(
+                lambda p: dgm_step_math(frozen, p, u, B, L, precision))(pv)
+            g_stacked = tuple(
+                g.reshape((rt * s[0],) + tuple(s[1:]))
+                if len(s) >= 2 else g
+                for g, s in zip(grads, shapes))
+            return loss.reshape(rt, 1), g_stacked
+    else:
+        def step_math(p, u, c, batch_mask=None, inv_bs=None):
+            frozen = (spec_with_build(spec, functools.partial(spec.build,
+                                                              const=c))
+                      if c is not None else spec)
+            return dgm_step_math(frozen, p, u, B, L, precision,
+                                 batch_mask=batch_mask, inv_bs=inv_bs)
 
     return run_fused_packed(step_math, shapes, params, m, v, uniforms,
                             step0, lrate, S, n_replicas, rep_tile=rep_tile,
@@ -643,7 +679,8 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
                             total_steps=total_steps, decay=decay,
                             lr_vec=lr_vec, bs_vec=bs_vec,
                             steps_vec=steps_vec, mask_rows=mask_rows,
-                            trial_horizon=trial_horizon)
+                            trial_horizon=trial_horizon,
+                            interleave=interleave)
 
 
 def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -654,7 +691,7 @@ def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
                                     chunk_size=25_000,
                                     steps_per_cell: int | None = None,
                                     mixed_split: float = 0.65,
-                                    timings=None):
+                                    timings=None, interleave=None):
     """Train ``n_replicas`` DGM replicas in PACKED Mosaic dispatches —
     the DGM twin of fused_engine.train_fused_ensemble_packed (VERDICT r3
     #3: one dispatch instead of N, N independent per-step chains for the
@@ -706,7 +743,8 @@ def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
 
     common = dict(n_replicas=n_replicas, rep_tile=rep_tile, const=const,
                   steps_per_cell=steps_per_cell, schedule=schedule,
-                  total_steps=iterations, decay=decay)
+                  total_steps=iterations, decay=decay,
+                  interleave=interleave)
     n1 = int(iterations * mixed_split) if precision == "mixed" else 0
     if precision == "mixed" and (n1 == 0 or n1 == iterations):
         precision, n1 = "highest", 0

@@ -202,8 +202,12 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     R = _n_rows(groups)
     outs = tuple(out[k * B:(k + 1) * B] for k in range(R))
     # Cotangent w.r.t. the stream outputs: tiny elementwise graph — safe to
-    # autodiff even inside a Mosaic kernel body.
-    loss, gouts = jax.value_and_grad(lambda o: spec.loss(o, ctx))(outs)
+    # autodiff even inside a Mosaic kernel body. vjp (not value_and_grad)
+    # because spec losses are [1, 1] keepdims values, never rank-0 — a
+    # scalar would batch to a Mosaic-fatal 1-D vector under the packed
+    # interleave vmap (see _ksum).
+    loss, vjp_fn = jax.vjp(lambda o: spec.loss(o, ctx), outs)
+    gouts, = vjp_fn(jnp.ones_like(loss))
     G = jnp.concatenate(gouts, 0)
 
     # ---- backward (identical algebra to fused_train, generic act rules) ----
@@ -248,15 +252,30 @@ def _coprime_stride(n: int) -> int:
     return m
 
 
+def _ksum(q):
+    """[B, C] -> [1, 1] sum with keepdims at EVERY reduction. Spec losses
+    must never materialise a rank-0 value: under the packed-interleave
+    vmap a scalar batches to a 1-D [rep_tile] vector, which crashes
+    Mosaic's layout pass ("Check failed: arr.size() >= layout_rank",
+    observed on v5e) — 2-D values batch to 3-D, which lowers fine."""
+    return jnp.sum(jnp.sum(q, axis=0, keepdims=True), axis=1, keepdims=True)
+
+
+def _kmean(q):
+    """[B, C] -> [1, 1] mean (keepdims form — see :func:`_ksum`)."""
+    return _ksum(q) * (1.0 / (q.shape[0] * q.shape[1]))
+
+
 def _smean(q, ctx):
-    """Batch mean of a pointwise [B, 1] quantity, honouring the runtime
-    batch-size mask when the sweep evaluator installs one in ``ctx``
-    (rows ≥ batch_size are computed but excluded — the same masking the
-    vmapped population path applies in equations.base.Problem.loss)."""
+    """Batch mean of a pointwise [B, 1] quantity as a [1, 1] value
+    (keepdims — see :func:`_ksum`), honouring the runtime batch-size mask
+    when the sweep evaluator installs one in ``ctx`` (rows ≥ batch_size
+    are computed but excluded — the same masking the vmapped population
+    path applies in equations.base.Problem.loss)."""
     mask = ctx.get("mask") if isinstance(ctx, dict) else None
     if mask is None:
-        return jnp.mean(q)
-    return jnp.sum(q * mask) * ctx["inv_bs"]
+        return _kmean(q)
+    return _ksum(q * mask) * ctx["inv_bs"]
 
 
 @dataclass(frozen=True)
@@ -373,7 +392,7 @@ class AdvectionSpec:
             dt = self.p.t_max / r.shape[0]
             cum = (earlier @ jax.lax.stop_gradient(r)) * dt    # [B, 1]
             wgt = jax.lax.stop_gradient(jnp.exp(-eps * cum))
-            return jnp.mean(wgt * r) + jnp.mean(icbc)
+            return _kmean(wgt * r) + _kmean(icbc)
         return _smean(r + icbc, ctx)
 
 
@@ -1037,11 +1056,22 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
                               precision=_HIGH, schedule="constant",
                               total_steps=1, decay=0.1,
                               lr_vec=None, bs_vec=None, steps_vec=None,
-                              mask_rows=False, trial_horizon=True):
+                              mask_rows=False, trial_horizon=True,
+                              interleave=None):
     """Packed-replica twin of :func:`fused_engine_chunk`: one Pallas
     dispatch advances ``n_replicas`` independent runs by K steps each
     (state tensors replica-stacked — kernels.engine_core.stack_replicas).
-    Same S/T sizing rules as the single-replica chunk."""
+    Same S/T sizing rules as the single-replica chunk.
+
+    ``interleave`` (default OFF — measured 58x SLOWER on silicon): vmap
+    the step math over the replica axis so each stage issues its
+    replica-group's independent MXU ops adjacently. The raw-matmul probe
+    (benchmarks/probe_mxu_overlap.py) showed op-level interleave reaches
+    ~1.8x on adjacent small matmuls, but END-TO-END the batched
+    ([rep_tile, B, H] @ [rep_tile, H, H]) step math Mosaic generates
+    from the vmap is pathological: ensemble-16 heat 80.9 s vs the
+    replica-loop's 1.40 s (2026-08-18, v5e). Kept as an option so the
+    negative result stays reproducible."""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_packed,
     )
@@ -1070,10 +1100,30 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    def step_math(p, u, const, batch_mask=None, inv_bs=None):
-        return engine_step_math(spec, p, u, u.shape[0], L, precision,
-                                batch_mask=batch_mask, inv_bs=inv_bs,
-                                const=const)
+    per_rep = (lr_vec is not None or bs_vec is not None
+               or steps_vec is not None)
+    if interleave is None:
+        interleave = False
+
+    if interleave:
+        rt = rep_tile
+
+        def step_math(p_blocks, u, const):
+            pv = tuple(b.reshape((rt,) + tuple(s))
+                       for b, s in zip(p_blocks, shapes))
+            loss, grads = jax.vmap(
+                lambda p: engine_step_math(spec, p, u, u.shape[0], L,
+                                           precision, const=const))(pv)
+            g_stacked = tuple(
+                g.reshape((rt * s[0],) + tuple(s[1:]))
+                if len(s) >= 2 else g
+                for g, s in zip(grads, shapes))
+            return loss.reshape(rt, 1), g_stacked
+    else:
+        def step_math(p, u, const, batch_mask=None, inv_bs=None):
+            return engine_step_math(spec, p, u, u.shape[0], L, precision,
+                                    batch_mask=batch_mask, inv_bs=inv_bs,
+                                    const=const)
 
     const = (spec.make_const(B // T) if hasattr(spec, "make_const")
              else None)
@@ -1083,7 +1133,8 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
                             total_steps=total_steps, decay=decay,
                             lr_vec=lr_vec, bs_vec=bs_vec,
                             steps_vec=steps_vec, mask_rows=mask_rows,
-                            trial_horizon=trial_horizon)
+                            trial_horizon=trial_horizon,
+                            interleave=interleave)
 
 
 def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -1093,7 +1144,8 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
                                 decay: float = 0.1, rep_tile=None,
                                 chunk_size=25_000,
                                 steps_per_cell: int | None = None,
-                                mixed_split: float = 0.65, timings=None):
+                                mixed_split: float = 0.65, timings=None,
+                                interleave=None):
     """Train ``n_replicas`` independently-initialised replicas in PACKED
     Mosaic dispatches: every chunk is ONE kernel advancing all replicas
     (VERDICT r3 #3 — the sequential per-replica dispatch loop left the
@@ -1146,7 +1198,8 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
 
     common = dict(n_replicas=n_replicas, rep_tile=rep_tile,
                   steps_per_cell=steps_per_cell, schedule=schedule,
-                  total_steps=iterations, decay=decay)
+                  total_steps=iterations, decay=decay,
+                  interleave=interleave)
     n1 = int(iterations * mixed_split) if precision == "mixed" else 0
     if precision == "mixed" and (n1 == 0 or n1 == iterations):
         precision, n1 = "highest", 0

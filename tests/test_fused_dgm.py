@@ -39,7 +39,7 @@ def test_fn_step_math_matches_problem_loss_grad(key):
     batch = {"t": t, "t0": jnp.zeros((B, 1))}
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
-    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
     for ge, gr in zip(grads_e, fd.pack_dgm(grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=5e-4, atol=1e-5)
@@ -68,7 +68,7 @@ def test_fredholm_step_math_matches_problem_loss_grad(key):
              "wq": jnp.broadcast_to(weights[None, :], (B, prob.k))}
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
-    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
     for ge, gr in zip(grads_e, fd.pack_dgm(grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=5e-4, atol=1e-5)
@@ -84,7 +84,7 @@ def _pure_twin(spec, model, flat, uniforms, lrate, const=None):
     for i in range(uniforms.shape[0]):
         loss, grads = fd.dgm_step_math(spec, flat, uniforms[i],
                                        uniforms.shape[1], model.num_layers)
-        losses.append(float(loss))
+        losses.append(float(np.squeeze(loss)))
         new = []
         for k in range(fd._N_TENSORS):
             p, mm, vv = _adam_update(flat[k], m[k], v[k], grads[k],

@@ -89,7 +89,7 @@ def test_step_math_matches_problem_loss_grad(name, key):
     batch = _batch_from_uniforms(prob, u, B)
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
-    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
     for ge, gr in zip(grads_e, pack_params(model, grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=1e-4, atol=1e-6)
@@ -106,7 +106,7 @@ def _pure_twin(spec, model, flat, uniforms, lrate, schedule="constant",
     for i in range(uniforms.shape[0]):
         loss, grads = fe.engine_step_math(spec, flat, uniforms[i],
                                           uniforms.shape[1], model.num_layers)
-        losses.append(float(loss))
+        losses.append(float(np.squeeze(loss)))
         t = float(i + 1)
         if schedule == "cosine":
             frac = min((t - 1.0) / total, 1.0)
@@ -298,7 +298,7 @@ def test_advection_causal_spec_matches_scan_loss(key):
              "xb": jnp.concatenate([z, t], 1)}
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
-    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
     for ge, gr in zip(grads_e, pack_params(model, grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=1e-4, atol=1e-6)
@@ -378,6 +378,25 @@ def test_packed_ensemble_matches_sequential_evaluator(key, rep_tile):
                         jax.tree.leaves(fe.unpack_params(model, flat_seq))):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_packed_ensemble_interleave_matches_replica_loop(key):
+    """interleave=True (vmapped multi-replica step math — measured 58x
+    slower on silicon, kept as a reproducible option) computes the SAME
+    training trajectory as the default replica loop."""
+    prob = PROBLEMS["wave"]()
+    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
+                activation="tanh")
+    p_loop, l_loop = fe.train_fused_ensemble_packed(
+        prob, key, 12, 4, batch_size=8, model=model, steps_per_cell=3,
+        lrate=1e-3, rep_tile=2)
+    p_intl, l_intl = fe.train_fused_ensemble_packed(
+        prob, key, 12, 4, batch_size=8, model=model, steps_per_cell=3,
+        lrate=1e-3, rep_tile=2, interleave=True)
+    np.testing.assert_allclose(l_loop, l_intl, rtol=1e-6, atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_loop), jax.tree.leaves(p_intl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
 
 
 def test_packed_ensemble_mixed_matches_fp32_on_cpu(key):

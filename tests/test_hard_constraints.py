@@ -187,7 +187,7 @@ def test_hard_fused_spec_matches_scan_loss_grad(name, key):
     batch = _hard_batch(name, prob, u, B)
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
-    np.testing.assert_allclose(float(loss_e), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
     for ge, gr in zip(grads_e, pack_params(model, grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=1e-4, atol=1e-6)

@@ -512,6 +512,43 @@ def run_packed() -> None:
         _extras["packed_vs_sequential_speedup"] = round(seq / wall, 2)
 
 
+def run_mxu_heavy() -> None:
+    """MXU utilisation at a PRODUCTION shape (VERDICT r3 #3's real point):
+    the reference shape (B=64, H=128) is latency-bound by construction —
+    each matmul is 64x128 @ 128x128 — so its ~2 TFLOP/s says nothing about
+    whether the engine can fill the chip. This trains heat on a 4x-wider
+    MLP (H=256, L=3) at batch 512 — the widest shape whose weight state +
+    step working set stays VMEM-resident (H=512 spills and crawls; see
+    fused_engine_chunk's tile-cap comment) — as ONE whole-run dispatch,
+    and records achieved matmul TFLOP/s (useful training FLOPs only, same
+    counting as the packed section)."""
+    import jax
+
+    from differential_equations_dnn_tpu.equations import Heat1D
+    from differential_equations_dnn_tpu.kernels import fused_engine as fe
+    from differential_equations_dnn_tpu.models.mlp import MLP
+
+    problem = Heat1D(taps="jvp")
+    model = MLP(input_dim=2, output_dim=1, hidden_size=256, num_layers=3,
+                activation="tanh")
+    B, iters = 512, 24_000
+    res = fe.train_fused_result(problem, jax.random.key(0), iters,
+                                batch_size=B, lrate=1e-4, model=model,
+                                precision="mixed", chunk_size=iters)
+    tf = step_flops(model, B) * (iters / res.wall_time) / 1e12
+    _extras["mxu_heavy_config"] = f"heat H=256 L=3 B={B} mixed"
+    _extras["mxu_heavy_iters_per_sec"] = round(iters / res.wall_time, 1)
+    _extras["mxu_heavy_achieved_matmul_tflops"] = round(tf, 2)
+    _extras["mxu_heavy_final_loss"] = float(res.loss_history[-100:].mean())
+    nominal = _extras.get("nominal_bf16_tflops")
+    if nominal:
+        _extras["mxu_heavy_utilisation_vs_peak"] = round(tf / nominal, 4)
+    fp32_anchor = _extras.get("calibration_matmul_fp32_tflops")
+    if fp32_anchor:
+        _extras["mxu_heavy_utilisation_vs_calibration"] = round(
+            tf / fp32_anchor, 3)
+
+
 # Per-equation regression tier (VERDICT r3 #8): one {mae, iters/s} record
 # per equation at its DEPLOYMENT defaults, fused engine where supported.
 EQUATION_TIER = [
@@ -583,6 +620,7 @@ def main() -> int:
     # comparison extras, so budget exhaustion costs the least-new numbers.
     section("calibration", 60.0, run_calibration)  # anchors packed ratios
     section("packed", 240.0, run_packed)
+    section("mxu_heavy", 150.0, run_mxu_heavy)
     section("equations", 120.0, run_equations)
     section("fp32", 90.0, lambda: run_fp32(problem, r1.params))
     section("scan", 120.0, lambda: run_scan(problem, value))

@@ -435,6 +435,7 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
         raise ValueError(f"n_replicas {n_replicas} not divisible by "
                          f"rep_tile {rep_tile}")
     G = n_replicas // rep_tile
+    _check_state_fits(shapes, rep_tile)
     leads = [_lead(s) for s in shapes]
     if S > 128:
         raise ValueError("S > 128 cannot lane-pack the loss history")
@@ -521,6 +522,22 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
         tuple(out[1 + 2 * n:1 + 3 * n]), losses
 
 
+def _check_state_fits(shapes, rep_tile=1):
+    """Reject models whose VMEM-resident Adam state cannot fit the 64 MiB
+    scoped grant. The kernels keep p+m+v as in AND out buffers (6 copies —
+    in/out aliasing loses revisited-window state on real TPUs, see module
+    docstring), so a tanh MLP at H=1024 (12.6 MiB of weights) wants 75 MiB
+    of state alone and Mosaic stack-OOMs at compile (measured 82.7M vs the
+    64M limit, 2026-08-18 v5e). Fail fast with the alternative instead."""
+    state = sum(math.prod(s) for s in shapes) * 4 * 6 * rep_tile
+    if state > (56 << 20):
+        raise ValueError(
+            f"model state ({state / 2**20:.0f} MiB for p+m+v in/out"
+            f"{f' x {rep_tile} replicas' if rep_tile > 1 else ''}) exceeds "
+            "the fused engines' 64 MiB VMEM envelope — use engine='scan' "
+            "(HBM-resident state), or a smaller hidden size / rep_tile")
+
+
 def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
                     S, T=1, const=None, schedule="constant", total_steps=1,
                     decay=0.1, runtime_bs=None, runtime_steps=None,
@@ -535,6 +552,7 @@ def run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0, lrate,
     executable evaluates any (batch_size ≤ B, n_iters ≤ K) trial."""
     K, B, U = uniforms.shape
     n_tensors = len(shapes)
+    _check_state_fits(shapes)
     has_runtime = runtime_bs is not None or runtime_steps is not None
     mask_rows = runtime_bs is not None
     if has_runtime:

@@ -869,11 +869,19 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     # Largest divisor of K within the budget (lane-packed loss rows hold
     # <=128 steps per grid cell).
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
-    # Tile cap: keep R*tile <= ~3.6k rows -- sized for the 64 MiB VMEM grant
-    # (measured: poisson R=9 and heat2d R=12 run full-batch-256 tiles at
-    # +20-25% over split tiles; the old 16 MiB-era cap of 256*7/R rows
-    # forced T=2 on both). Halve until it divides the batch.
-    cap = max(64, (512 * 7) // R)
+    # Tile cap: keep R*tile*H <= ~3.6k*128 activation ELEMENTS -- sized for
+    # the 64 MiB VMEM grant at the H=128 anchor (measured: poisson R=9 and
+    # heat2d R=12 run full-batch-256 tiles at +20-25% over split tiles; the
+    # old 16 MiB-era cap of 256*7/R rows forced T=2 on both). Wide models
+    # scale the row budget down by 128/H (the per-stage working set is
+    # rows x H; H=512 at the unscaled cap stack-OOMs the 64 MiB scoped
+    # grant — measured 118.8M, 2026-08-18 v5e), and QUADRATICALLY past
+    # H=256 (weight-shaped grad temporaries are H² and one set stays live
+    # per accumulation tile: H=512 tile=128 still OOMs at 83.7M; tile=64
+    # compiles). The fused throughput sweet spot is H <= 256 (41 TFLOP/s
+    # at H=256 B=512); H=512 lowers but Mosaic spills to HBM and crawls —
+    # prefer engine='scan' there. Halve until it divides B.
+    cap = max(64, (512 * 7 * 128 * min(256, H)) // (R * max(H, 128) ** 2))
     if batch_tile is None:
         batch_tile = B
         while batch_tile > cap and batch_tile % 2 == 0:
@@ -1083,7 +1091,8 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
     if steps_per_cell is None:
         steps_per_cell = max(1, 44_800 // (R * B))
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
-    cap = max(64, (512 * 7) // R)
+    # H-scaled row budget — see fused_engine_chunk's cap comment.
+    cap = max(64, (512 * 7 * 128 * min(256, H)) // (R * max(H, 128) ** 2))
     if batch_tile is None:
         batch_tile = B
         while batch_tile > cap and batch_tile % 2 == 0:

@@ -5,13 +5,21 @@ Prints JSON lines of the driver schema
 PROGRESSIVELY: a (degraded) line is emitted the moment the process starts,
 replaced by a provisional headline as soon as ANY throughput is measured,
 then by the full headline, then re-emitted enriched after every completed
-extras section. The driver records the LAST parseable line (verified against
-BENCH_r02.json's capture format), so a mid-run environment stall — the axon
-tunnel's documented 200-460 s compile transients and multi-minute dispatch
-stalls, which made BENCH_r03 rc=124/parsed=null — can only cost the
-not-yet-measured extras, never the headline. Three layers of protection:
+extras section. The driver records the last complete JSON line inside a
+2,000-character stdout TAIL window, so every emitted line is hard-capped at
+``MAX_LINE_BYTES`` (1,500) — BENCH_r04 was rc=0/parsed=null because the
+enriched line grew to ~3.6 kB and the tail began mid-JSON. Inline extras are
+a priority-ordered scalar whitelist (``INLINE_KEYS``); everything else
+(equation tier, sample lists, probe detail) lives only in the FULL side
+record ``benchmarks/results/bench_full_<platform>.json``, whose path the
+inline line carries as ``full_record``. A mid-run environment stall — the
+axon tunnel's documented 200-460 s compile transients and multi-minute
+dispatch stalls, which made BENCH_r03 rc=124/parsed=null — can only cost the
+not-yet-measured extras, never the headline. Protection layers:
 
-* every line is emitted immediately (stdout flush + ``bench_last.json``);
+* every line is emitted immediately (stdout flush + a per-platform
+  ``bench_last.<platform>.json`` mirror, so a CPU test run can never
+  clobber the on-chip record — VERDICT r4 #2);
 * each extras section has a wall-clock budget and is skipped (recorded as
   ``"<section>_skipped": "budget"``) when the remaining global budget cannot
   cover it;
@@ -75,17 +83,70 @@ _state: dict = {
 }
 _extras["incomplete"] = "startup"  # cleared once the full headline lands
 
+# The driver parses the last complete JSON line inside a 2,000-char stdout
+# tail window. Every emitted line must therefore fit with margin — r04's
+# 3.6 kB enriched line overflowed the window and nulled the round's record.
+MAX_LINE_BYTES = 1500
+
+# Inline-extras whitelist, PRIORITY ORDER (survivors when the line must
+# shrink). Everything not listed — equation_tier, sample lists, configs,
+# error strings — lives only in the full side record (``full_record`` path).
+INLINE_KEYS = [
+    "mae_vs_exact", "reference_mae",
+    "incomplete", "provisional", "watchdog_fired_at_s",
+    "compile_time_s", "us_per_step", "achieved_matmul_tflops",
+    "mxu_heavy_utilisation_vs_peak", "mxu_heavy_achieved_matmul_tflops",
+    "mxu_heavy_iters_per_sec",
+    "packed_vs_sequential_speedup", "packed_replica_iters_per_sec",
+    "packed_mxu_utilisation_vs_peak",
+    "calibration_matmul_bf16_tflops", "calibration_matmul_fp32_tflops",
+    "mxu_utilisation_vs_calibration", "nominal_bf16_tflops",
+    "sweep_trials_per_min", "fused_full_budget_trials_per_min",
+    "packed_tpe_q8_trials_per_min", "packed_tpe_full_space_trials_per_min",
+    "scan_trainer_iters_per_sec", "kernel_vs_scan_speedup",
+    "fp32_kernel_iters_per_sec", "mae_finetuned_lbfgs200",
+    "equations_ok", "equations_fused",
+    "iterations", "batch_size", "full_record",
+]
+
+
+def _platform_suffix() -> str:
+    return os.environ.get("BENCH_PLATFORM", "tpu")
+
+
+def _full_record_path() -> Path:
+    d = Path(__file__).resolve().parent / "benchmarks" / "results"
+    return d / f"bench_full_{_platform_suffix()}.json"
+
 
 def emit() -> None:
-    """Print the current state as one JSON line (the driver keeps the LAST
-    parseable line) and mirror it to bench_last.json."""
+    """Print the current state as ONE JSON line, hard-capped at
+    ``MAX_LINE_BYTES`` so the driver's 2,000-char tail window always holds a
+    complete line. Mirrors the line to ``bench_last.<platform>.json`` and
+    the FULL record (all extras) to ``benchmarks/results/``."""
     with _lock:
-        line = json.dumps(_state)
+        full_state = {**_state, "extras": dict(_extras)}
+        inline = {k: _extras[k] for k in INLINE_KEYS if k in _extras}
+        compact = {**_state, "extras": inline}
+        line = json.dumps(compact)
+        # Drop lowest-priority inline keys until the line fits. INLINE_KEYS
+        # holds only short scalars, so this loop rarely (never, in tests
+        # asserting the cap) has to run — it is the guarantee, not the norm.
+        for k in reversed(INLINE_KEYS):
+            if len(line) <= MAX_LINE_BYTES:
+                break
+            if k in inline:
+                del inline[k]
+                line = json.dumps(compact)
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
+    root = Path(__file__).resolve().parent
     try:
-        (Path(__file__).resolve().parent / "bench_last.json").write_text(
+        (root / f"bench_last.{_platform_suffix()}.json").write_text(
             line + "\n")
+        fr = _full_record_path()
+        fr.parent.mkdir(parents=True, exist_ok=True)
+        fr.write_text(json.dumps(full_state, indent=1) + "\n")
     except OSError:
         pass
 
@@ -588,6 +649,10 @@ def run_equations() -> None:
         except Exception as e:  # noqa: BLE001
             tier[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
         tier[name]["total_s"] = round(time.time() - t0, 1)
+        # Inline summary (the full per-equation table stays in full_record).
+        _extras["equations_ok"] = sum(1 for v in tier.values() if "mae" in v)
+        _extras["equations_fused"] = sum(
+            1 for v in tier.values() if v.get("engine") == "fused")
         emit()
 
 
@@ -603,6 +668,8 @@ def _apply_platform() -> None:
 
 
 def main() -> int:
+    _extras["full_record"] = str(
+        _full_record_path().relative_to(Path(__file__).resolve().parent))
     emit()  # a parseable (degraded) line exists from second zero
     threading.Thread(target=_watchdog, daemon=True).start()
     _apply_platform()

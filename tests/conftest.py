@@ -4,8 +4,14 @@ so sharding/mesh logic is exercised without TPU hardware (SURVEY §4).
 Note: env vars (JAX_PLATFORMS / XLA_FLAGS) are overridden by the axon
 sitecustomize in this image — ``jax.config.update`` is authoritative."""
 
+import sys
+from pathlib import Path
+
 import jax
 import pytest
+
+# Repo root on sys.path: tests import the repo-root ``bench`` module.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)

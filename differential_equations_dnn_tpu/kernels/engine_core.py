@@ -201,7 +201,7 @@ def unstack_replicas(packed, shapes, n):
 
 def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
                              schedule, total, decay, has_const, per_rep,
-                             mask_rows, trial_horizon, interleave,
+                             mask_rows, trial_horizon,
                              step0_ref, lr_ref, *rest):
     """Packed-replica kernel body: each grid cell advances R_TILE replicas
     by S Adam steps. The replicas' per-step chains are INDEPENDENT — the
@@ -211,23 +211,10 @@ def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
     (VERDICT r3 #3: the tiny reference shapes cannot fill the chip one
     replica at a time).
 
-    ``interleave`` (ensemble mode only — requires ``not per_rep``;
-    DEFAULT OFF, measured 58x SLOWER end-to-end): the engine's
-    ``step_math`` is the MULTI-replica version — called ONCE per step
-    with the full stacked state blocks, returning ([R_TILE, 1] losses,
-    stacked grads), internally vmapping the per-replica step math over
-    the replica axis so every STAGE issues its R_TILE independent ops
-    adjacently. The raw-matmul probe (benchmarks/probe_mxu_overlap.py)
-    showed op-level interleave overlaps adjacent small matmuls
-    (215 -> 120 ns), but the batched 3-D dot_generals the vmap makes
-    Mosaic generate are pathological end-to-end: ensemble-16 heat
-    80.9 s interleaved vs 1.40 s replica-loop vs 1.68 s as 16
-    sequential dispatches (2026-08-18, v5e — the replica loop is the
-    winner at 1.20x over sequential). Kept behind the flag so the
-    negative result stays reproducible. Adam in this mode updates all
-    replicas as ONE set of full-block VPU ops, and the per-step loss
-    row is carried as an [R_TILE, 128] accumulator written back once
-    per cell.
+    A vmapped-step-math "interleave" variant (every stage issuing its
+    R_TILE ops as one batched 3-D dot_general) was built, measured 58x
+    SLOWER end-to-end on v5e, and retired (VERDICT r4 #7) — the negative
+    result lives in benchmarks/probe_mxu_overlap.py + docs/KERNELS.md.
 
     ``per_rep``: per-replica runtime SMEM vectors (lr, bs, n_steps) are
     present — the packed SWEEP mode, where each slot is a different trial:
@@ -273,56 +260,6 @@ def fused_packed_adam_kernel(step_math, n_tensors, leads, B, S, T, R_TILE,
             # Gated slots skip their loss writes; zero the whole history
             # block up front so those lanes read as 0, not garbage.
             loss_ref[:] = jnp.zeros(loss_ref.shape, jnp.float32)
-
-    if interleave:
-        assert not per_rep and not mask_rows
-
-        def body_intl(s, accum):
-            const = const_ref[:] if has_const else None
-            tile = B // T
-            step = i * S + s
-            t_f = (step0_ref[0] + step + 1).astype(jnp.float32)
-            lr = lr_ref[0]
-            if schedule == "cosine":
-                frac = jnp.minimum((t_f - 1.0) / total, 1.0)
-                lr_t = lr * (decay + (1.0 - decay) * 0.5
-                             * (1.0 + jnp.cos(math.pi * frac)))
-            elif schedule == "exponential":
-                lr_t = lr * jnp.exp(((t_f - 1.0) / total) * math.log(decay))
-            else:
-                lr_t = lr
-            params = tuple(p_out[k][:] for k in range(n_tensors))
-
-            def tile_math(t):
-                return step_math(params, u_ref[s, t * tile:(t + 1) * tile],
-                                 const)
-
-            loss, grads = tile_math(0)
-            for t in range(1, T):
-                loss_t, grads_t = tile_math(t)
-                loss = loss + loss_t
-                grads = tuple(g + gt for g, gt in zip(grads, grads_t))
-            if T > 1:
-                inv = 1.0 / T
-                loss = loss * inv
-                grads = tuple(g * inv for g in grads)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            accum = jnp.where(lane == s, loss, accum)  # loss [R_TILE, 1]
-            for k in range(n_tensors):
-                p_new, m_new, v_new = _adam_update(
-                    p_out[k][:], m_out[k][:], v_out[k][:], grads[k],
-                    lr_t, t_f)
-                p_out[k][:] = p_new
-                m_out[k][:] = m_new
-                v_out[k][:] = v_new
-            return accum
-
-        accum = jax.lax.fori_loop(
-            0, S, body_intl, jnp.zeros((R_TILE, 128), jnp.float32))
-        for r in range(R_TILE):
-            loss_ref[pl.ds(r * pl.num_programs(1) + i, 1), :] = \
-                accum[r:r + 1, :]
-        return
 
     def body(s, _):
         const = const_ref[:] if has_const else None
@@ -399,8 +336,7 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
                      lrate, S, n_replicas, rep_tile=None, T=1, const=None,
                      schedule="constant", total_steps=1, decay=0.1,
                      lr_vec=None, bs_vec=None, steps_vec=None,
-                     mask_rows=False, trial_horizon=True,
-                     interleave=False):
+                     mask_rows=False, trial_horizon=True):
     """Packed-replica variant of :func:`run_fused_chunk`: ONE dispatch
     advances ``n_replicas`` independent training runs by K steps each.
 
@@ -419,14 +355,7 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
     SWEEP mode: each slot trains a DIFFERENT trial — its own lr, rows ≥
     bs[r] masked out of its loss (``mask_rows``, needs the masked
     step_math signature), frozen at its own steps[r] (0 = pruned slot).
-    One executable then evaluates a whole halving rung in ONE dispatch.
-
-    ``interleave`` (ensemble mode only, incompatible with the per-replica
-    runtime vectors): ``step_math`` is the MULTI-replica version —
-    ``step_math(stacked_blocks, u_slice, const) -> (loss [rep_tile, 1],
-    stacked_grads)`` — typically the engine's per-replica math vmapped
-    over the replica axis, so each step stage issues its rep_tile
-    independent MXU/VPU ops adjacently (see fused_packed_adam_kernel)."""
+    One executable then evaluates a whole halving rung in ONE dispatch."""
     K, B, U = uniforms.shape
     n_tensors = len(shapes)
     if rep_tile is None:
@@ -441,9 +370,6 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
         raise ValueError("S > 128 cannot lane-pack the loss history")
     per_rep = lr_vec is not None or bs_vec is not None \
         or steps_vec is not None
-    if interleave and (per_rep or mask_rows):
-        raise ValueError("interleave mode is for packed ensembles only "
-                         "(no per-replica runtime vectors / row masking)")
     if per_rep:
         if lr_vec is None:
             lr_vec = jnp.full((n_replicas,), lrate, jnp.float32)
@@ -456,7 +382,7 @@ def run_fused_packed(step_math, shapes, params, m, v, uniforms, step0,
                                n_tensors, leads, B, S, T, rep_tile,
                                schedule, float(total_steps), float(decay),
                                const is not None, per_rep, mask_rows,
-                               trial_horizon, interleave)
+                               trial_horizon)
 
     def _block(s, lead):
         """Replica-group-indexed state block: [rep_tile·lead, *s[1:]]."""

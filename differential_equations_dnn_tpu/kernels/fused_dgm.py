@@ -418,8 +418,8 @@ class FredholmDGMSpec:
         x, const = ctx["x"], ctx["const"]
         y_x = outs[0]
         # integral ≈ Σ_j w_j·cos(t_j)·y(t_j): one [1, 1] value shared by
-        # all samples (keepdims — a scalar would batch to a Mosaic-fatal
-        # 1-D vector under the packed-interleave vmap, see _ksum).
+        # all samples (keepdims — spec losses never materialise rank-0
+        # values inside the kernel, see fused_engine._ksum).
         integral = jnp.zeros((1, 1), y_x.dtype)
         for j in range(self.n_groups - 1):
             t_j = const[2 * j]
@@ -615,17 +615,13 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
                            precision=_HIGH, schedule="constant",
                            total_steps=1, decay=0.1,
                            lr_vec=None, bs_vec=None, steps_vec=None,
-                           mask_rows=False, trial_horizon=True,
-                           interleave=None):
+                           mask_rows=False, trial_horizon=True):
     """Packed-replica twin of :func:`fused_dgm_chunk`: one Pallas dispatch
     advances ``n_replicas`` independent DGM runs by K steps each (state
-    replica-stacked — kernels.engine_core.stack_replicas).
-
-    ``interleave`` (default OFF — measured 58x slower end-to-end on the
-    MLP engine, 2026-08-18 v5e; see fused_engine_packed_chunk's
-    docstring): vmap the step math over the replica axis so each stage
-    issues its replica group's independent MXU ops adjacently. Kept as
-    an option so the negative result stays reproducible."""
+    replica-stacked — kernels.engine_core.stack_replicas). (A vmapped
+    interleave step-math mode was measured 58x slower end-to-end on the
+    MLP engine and retired — benchmarks/probe_mxu_overlap.py +
+    docs/KERNELS.md.)"""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_packed,
     )
@@ -644,34 +640,12 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    per_rep = (lr_vec is not None or bs_vec is not None
-               or steps_vec is not None)
-    if interleave is None:
-        interleave = False
-
-    if interleave:
-        rt = rep_tile
-
-        def step_math(p_blocks, u, c):
-            frozen = (spec_with_build(spec, functools.partial(spec.build,
-                                                              const=c))
-                      if c is not None else spec)
-            pv = tuple(b.reshape((rt,) + tuple(s))
-                       for b, s in zip(p_blocks, shapes))
-            loss, grads = jax.vmap(
-                lambda p: dgm_step_math(frozen, p, u, B, L, precision))(pv)
-            g_stacked = tuple(
-                g.reshape((rt * s[0],) + tuple(s[1:]))
-                if len(s) >= 2 else g
-                for g, s in zip(grads, shapes))
-            return loss.reshape(rt, 1), g_stacked
-    else:
-        def step_math(p, u, c, batch_mask=None, inv_bs=None):
-            frozen = (spec_with_build(spec, functools.partial(spec.build,
-                                                              const=c))
-                      if c is not None else spec)
-            return dgm_step_math(frozen, p, u, B, L, precision,
-                                 batch_mask=batch_mask, inv_bs=inv_bs)
+    def step_math(p, u, c, batch_mask=None, inv_bs=None):
+        frozen = (spec_with_build(spec, functools.partial(spec.build,
+                                                          const=c))
+                  if c is not None else spec)
+        return dgm_step_math(frozen, p, u, B, L, precision,
+                             batch_mask=batch_mask, inv_bs=inv_bs)
 
     return run_fused_packed(step_math, shapes, params, m, v, uniforms,
                             step0, lrate, S, n_replicas, rep_tile=rep_tile,
@@ -679,8 +653,7 @@ def fused_dgm_packed_chunk(spec, model, params, m, v, uniforms, step0,
                             total_steps=total_steps, decay=decay,
                             lr_vec=lr_vec, bs_vec=bs_vec,
                             steps_vec=steps_vec, mask_rows=mask_rows,
-                            trial_horizon=trial_horizon,
-                            interleave=interleave)
+                            trial_horizon=trial_horizon)
 
 
 def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -691,7 +664,7 @@ def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
                                     chunk_size=25_000,
                                     steps_per_cell: int | None = None,
                                     mixed_split: float = 0.65,
-                                    timings=None, interleave=None):
+                                    timings=None):
     """Train ``n_replicas`` DGM replicas in PACKED Mosaic dispatches —
     the DGM twin of fused_engine.train_fused_ensemble_packed (VERDICT r3
     #3: one dispatch instead of N, N independent per-step chains for the
@@ -743,8 +716,7 @@ def train_dgm_fused_ensemble_packed(problem, key, iterations, n_replicas,
 
     common = dict(n_replicas=n_replicas, rep_tile=rep_tile, const=const,
                   steps_per_cell=steps_per_cell, schedule=schedule,
-                  total_steps=iterations, decay=decay,
-                  interleave=interleave)
+                  total_steps=iterations, decay=decay)
     n1 = int(iterations * mixed_split) if precision == "mixed" else 0
     if precision == "mixed" and (n1 == 0 or n1 == iterations):
         precision, n1 = "highest", 0

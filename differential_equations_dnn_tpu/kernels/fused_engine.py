@@ -203,9 +203,8 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     outs = tuple(out[k * B:(k + 1) * B] for k in range(R))
     # Cotangent w.r.t. the stream outputs: tiny elementwise graph — safe to
     # autodiff even inside a Mosaic kernel body. vjp (not value_and_grad)
-    # because spec losses are [1, 1] keepdims values, never rank-0 — a
-    # scalar would batch to a Mosaic-fatal 1-D vector under the packed
-    # interleave vmap (see _ksum).
+    # because spec losses are [1, 1] keepdims values, never rank-0 (see
+    # _ksum — the kernel's loss-row write needs a broadcastable 2-D value).
     loss, vjp_fn = jax.vjp(lambda o: spec.loss(o, ctx), outs)
     gouts, = vjp_fn(jnp.ones_like(loss))
     G = jnp.concatenate(gouts, 0)
@@ -254,10 +253,10 @@ def _coprime_stride(n: int) -> int:
 
 def _ksum(q):
     """[B, C] -> [1, 1] sum with keepdims at EVERY reduction. Spec losses
-    must never materialise a rank-0 value: under the packed-interleave
-    vmap a scalar batches to a 1-D [rep_tile] vector, which crashes
-    Mosaic's layout pass ("Check failed: arr.size() >= layout_rank",
-    observed on v5e) — 2-D values batch to 3-D, which lowers fine."""
+    must never materialise a rank-0 value inside the kernel: the loss-row
+    write (jnp.where(lane == s, loss, row)) needs a 2-D broadcastable
+    value, and rank-0 scalars have crashed Mosaic's layout pass under
+    batching ("Check failed: arr.size() >= layout_rank", observed v5e)."""
     return jnp.sum(jnp.sum(q, axis=0, keepdims=True), axis=1, keepdims=True)
 
 
@@ -880,8 +879,12 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     # per accumulation tile: H=512 tile=128 still OOMs at 83.7M; tile=64
     # compiles). The fused throughput sweet spot is H <= 256 (41 TFLOP/s
     # at H=256 B=512); H=512 lowers but Mosaic spills to HBM and crawls —
-    # prefer engine='scan' there. Halve until it divides B.
-    cap = max(64, (512 * 7 * 128 * min(256, H)) // (R * max(H, 128) ** 2))
+    # prefer engine='scan' there. Halve until it divides B. Narrow models
+    # (H < 128) pad to 128 lanes in VMEM, so their working set does NOT
+    # shrink — clamp the numerator from below to keep the full cap
+    # (ADVICE r4: min(256, H) was halving H=64's row budget for nothing).
+    cap = max(64,
+              (512 * 7 * 128 * min(256, max(H, 128))) // (R * max(H, 128) ** 2))
     if batch_tile is None:
         batch_tile = B
         while batch_tile > cap and batch_tile % 2 == 0:
@@ -1064,22 +1067,13 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
                               precision=_HIGH, schedule="constant",
                               total_steps=1, decay=0.1,
                               lr_vec=None, bs_vec=None, steps_vec=None,
-                              mask_rows=False, trial_horizon=True,
-                              interleave=None):
+                              mask_rows=False, trial_horizon=True):
     """Packed-replica twin of :func:`fused_engine_chunk`: one Pallas
     dispatch advances ``n_replicas`` independent runs by K steps each
     (state tensors replica-stacked — kernels.engine_core.stack_replicas).
-    Same S/T sizing rules as the single-replica chunk.
-
-    ``interleave`` (default OFF — measured 58x SLOWER on silicon): vmap
-    the step math over the replica axis so each stage issues its
-    replica-group's independent MXU ops adjacently. The raw-matmul probe
-    (benchmarks/probe_mxu_overlap.py) showed op-level interleave reaches
-    ~1.8x on adjacent small matmuls, but END-TO-END the batched
-    ([rep_tile, B, H] @ [rep_tile, H, H]) step math Mosaic generates
-    from the vmap is pathological: ensemble-16 heat 80.9 s vs the
-    replica-loop's 1.40 s (2026-08-18, v5e). Kept as an option so the
-    negative result stays reproducible."""
+    Same S/T sizing rules as the single-replica chunk. (A vmapped
+    interleave step-math mode was measured 58x slower end-to-end and
+    retired — benchmarks/probe_mxu_overlap.py + docs/KERNELS.md.)"""
     from differential_equations_dnn_tpu.kernels.engine_core import (
         run_fused_packed,
     )
@@ -1092,7 +1086,8 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
         steps_per_cell = max(1, 44_800 // (R * B))
     S = _largest_divisor_leq(K, min(steps_per_cell, 128))
     # H-scaled row budget — see fused_engine_chunk's cap comment.
-    cap = max(64, (512 * 7 * 128 * min(256, H)) // (R * max(H, 128) ** 2))
+    cap = max(64,
+              (512 * 7 * 128 * min(256, max(H, 128))) // (R * max(H, 128) ** 2))
     if batch_tile is None:
         batch_tile = B
         while batch_tile > cap and batch_tile % 2 == 0:
@@ -1109,30 +1104,10 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
         rep_tile = _largest_divisor_leq(
             n_replicas, max(1, min(16, (24 << 20) // max(per_rep, 1))))
 
-    per_rep = (lr_vec is not None or bs_vec is not None
-               or steps_vec is not None)
-    if interleave is None:
-        interleave = False
-
-    if interleave:
-        rt = rep_tile
-
-        def step_math(p_blocks, u, const):
-            pv = tuple(b.reshape((rt,) + tuple(s))
-                       for b, s in zip(p_blocks, shapes))
-            loss, grads = jax.vmap(
-                lambda p: engine_step_math(spec, p, u, u.shape[0], L,
-                                           precision, const=const))(pv)
-            g_stacked = tuple(
-                g.reshape((rt * s[0],) + tuple(s[1:]))
-                if len(s) >= 2 else g
-                for g, s in zip(grads, shapes))
-            return loss.reshape(rt, 1), g_stacked
-    else:
-        def step_math(p, u, const, batch_mask=None, inv_bs=None):
-            return engine_step_math(spec, p, u, u.shape[0], L, precision,
-                                    batch_mask=batch_mask, inv_bs=inv_bs,
-                                    const=const)
+    def step_math(p, u, const, batch_mask=None, inv_bs=None):
+        return engine_step_math(spec, p, u, u.shape[0], L, precision,
+                                batch_mask=batch_mask, inv_bs=inv_bs,
+                                const=const)
 
     const = (spec.make_const(B // T) if hasattr(spec, "make_const")
              else None)
@@ -1142,8 +1117,7 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
                             total_steps=total_steps, decay=decay,
                             lr_vec=lr_vec, bs_vec=bs_vec,
                             steps_vec=steps_vec, mask_rows=mask_rows,
-                            trial_horizon=trial_horizon,
-                            interleave=interleave)
+                            trial_horizon=trial_horizon)
 
 
 def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
@@ -1153,8 +1127,7 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
                                 decay: float = 0.1, rep_tile=None,
                                 chunk_size=25_000,
                                 steps_per_cell: int | None = None,
-                                mixed_split: float = 0.65, timings=None,
-                                interleave=None):
+                                mixed_split: float = 0.65, timings=None):
     """Train ``n_replicas`` independently-initialised replicas in PACKED
     Mosaic dispatches: every chunk is ONE kernel advancing all replicas
     (VERDICT r3 #3 — the sequential per-replica dispatch loop left the
@@ -1207,8 +1180,7 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
 
     common = dict(n_replicas=n_replicas, rep_tile=rep_tile,
                   steps_per_cell=steps_per_cell, schedule=schedule,
-                  total_steps=iterations, decay=decay,
-                  interleave=interleave)
+                  total_steps=iterations, decay=decay)
     n1 = int(iterations * mixed_split) if precision == "mixed" else 0
     if precision == "mixed" and (n1 == 0 or n1 == iterations):
         precision, n1 = "highest", 0

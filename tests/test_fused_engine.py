@@ -380,25 +380,6 @@ def test_packed_ensemble_matches_sequential_evaluator(key, rep_tile):
                                        rtol=1e-5, atol=1e-7)
 
 
-def test_packed_ensemble_interleave_matches_replica_loop(key):
-    """interleave=True (vmapped multi-replica step math — measured 58x
-    slower on silicon, kept as a reproducible option) computes the SAME
-    training trajectory as the default replica loop."""
-    prob = PROBLEMS["wave"]()
-    model = MLP(input_dim=2, output_dim=1, hidden_size=16, num_layers=1,
-                activation="tanh")
-    p_loop, l_loop = fe.train_fused_ensemble_packed(
-        prob, key, 12, 4, batch_size=8, model=model, steps_per_cell=3,
-        lrate=1e-3, rep_tile=2)
-    p_intl, l_intl = fe.train_fused_ensemble_packed(
-        prob, key, 12, 4, batch_size=8, model=model, steps_per_cell=3,
-        lrate=1e-3, rep_tile=2, interleave=True)
-    np.testing.assert_allclose(l_loop, l_intl, rtol=1e-6, atol=1e-9)
-    for a, b in zip(jax.tree.leaves(p_loop), jax.tree.leaves(p_intl)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-8)
-
-
 def test_packed_ensemble_mixed_matches_fp32_on_cpu(key):
     """precision='mixed' on the packed path (two chained phases in ONE
     program) reproduces fp32 bit-for-bit in interpret mode."""

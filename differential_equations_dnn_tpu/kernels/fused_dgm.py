@@ -52,6 +52,7 @@ from differential_equations_dnn_tpu.kernels.fused_engine import (
     _kmean,
     _ksum,
     _largest_divisor_leq,
+    _memo_compile,
     _n_rows,
 )
 from differential_equations_dnn_tpu.kernels.fused_train import (
@@ -590,13 +591,15 @@ def make_trial_evaluator(problem, key, iterations, batch_size=100,
             spec, model, flat, m, v, u, 0, lrate=lr,
             precision=_PRECISIONS[precision], **common)
 
-    jinit = cached_compile(jax.jit(model.init),
-                           jax.random.fold_in(init_key, 0), label="init")
+    memo_key = ("dgmev", problem, model, batch_size, iterations, precision,
+                schedule, decay, steps_per_cell)
+    jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
-                              uniforms, np.float32(0.0),
-                              label=f"dgmev-{problem.name}")
+    compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
+        jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
+        label=f"dgmev-{problem.name}"))
 
     def eval_fn(trial_index: int, lr: float | None = None):
         # The base lr is a runtime SMEM scalar: sweeping it reuses this
@@ -866,15 +869,19 @@ def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
             total_steps=user_max, decay=decay, runtime_steps=n_steps,
             runtime_bs=bs, trial_horizon=horizon == "trial")
 
-    jinit = cached_compile(jax.jit(model.init),
-                           jax.random.fold_in(init_key, 0), label="init")
+    memo_key = ("dgmsw", problem, model, batch_size, max_batch, max_iters,
+                user_max, precision, schedule, decay, horizon,
+                steps_per_cell)
+    jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
     flat0 = pack_dgm(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     if max_batch is None:
-        compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
-                                  uniforms, np.float32(0.0),
-                                  np.int32(max_iters),
-                                  label=f"dgmsw-{problem.name}")
+        compiled = _memo_compile(
+            memo_key + ("kernel",), lambda: cached_compile(
+                jax.jit(run), flat0, zeros, zeros, uniforms,
+                np.float32(0.0), np.int32(max_iters),
+                label=f"dgmsw-{problem.name}"))
 
         def eval_fn(trial_index: int, lrate: float, n_iters: int):
             n_iters = max(1, min(int(n_iters), user_max))
@@ -885,10 +892,12 @@ def make_sweep_evaluator(problem, key, max_iters, batch_size=100,
 
         return eval_fn
 
-    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros, uniforms,
-                              np.float32(0.0), np.int32(max_iters),
-                              np.int32(batch_size),
-                              label=f"dgmswb-{problem.name}")
+    compiled = _memo_compile(memo_key + ("kernel-bs",),
+                             lambda: cached_compile(
+                                 jax.jit(run), flat0, zeros, zeros, uniforms,
+                                 np.float32(0.0), np.int32(max_iters),
+                                 np.int32(batch_size),
+                                 label=f"dgmswb-{problem.name}"))
 
     def eval_fn_bs(trial_index: int, lrate: float, bs: int, n_iters: int):
         n_iters = max(1, min(int(n_iters), user_max))
@@ -950,12 +959,20 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
     shapes = [(D, H), (H,), (L, H, 3 * H), (L, D, 3 * H), (L, 3 * H),
               (L, H, H), (L, D, H), (L, H), (H, O), (O,)]
 
-    def init_all(ts):
-        flats = [pack_dgm(model.init(jax.random.fold_in(init_key, ts[r])))
+    # Key as an ARGUMENT so the program is seed-independent and AOT-cache
+    # -stable (see fused_engine.make_packed_rung_evaluator).
+    def init_all(ik, ts):
+        flats = [pack_dgm(model.init(jax.random.fold_in(ik, ts[r])))
                  for r in range(n_slots)]
         return stack_replicas(flats)
 
-    jinit_all = jax.jit(init_all)
+    memo_key = ("dgmprk", problem, model, n_slots, batch_size, max_batch,
+                max_iters, user_max, precision, schedule, decay, horizon,
+                steps_per_cell, rep_tile)
+    _jinit_c = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(init_all), init_key, jnp.arange(n_slots, dtype=jnp.int32),
+        label=f"dgmprk-init-{problem.name}-{n_slots}"))
+    jinit_all = lambda ts: _jinit_c(init_key, ts)
 
     def run(flat, lrs, bss, ns, u):
         zeros = tuple(jnp.zeros_like(t) for t in flat)
@@ -974,8 +991,9 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
     lr0 = jnp.full((n_slots,), 1e-4, jnp.float32)
     bs0 = jnp.full((n_slots,), batch_size, jnp.int32)
     ns0 = jnp.full((n_slots,), max_iters, jnp.int32)
-    compiled = cached_compile(jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
-                              label=f"dgmprk-{problem.name}-{n_slots}")
+    compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
+        jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
+        label=f"dgmprk-{problem.name}-{n_slots}"))
 
     def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
         if len(trial_indices) != n_slots:
@@ -1052,8 +1070,12 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
             f"sharded rung evaluation needs a '{pop_axis}' mesh axis; "
             f"build the mesh with make_mesh({{'pop': N}})")
     n_shards = mesh.shape[pop_axis]
-    _init_all = jax.jit(lambda ts: jax.vmap(
-        lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
+    _init_all_jit = jax.jit(lambda ik, ts: jax.vmap(
+        lambda t: model.init(jax.random.fold_in(ik, t)))(ts))
+    # AOT-cached per rung width, key as argument (seed-independent program
+    # — see fused_engine.make_sharded_rung_evaluator).
+    _init_all = lambda ts: cached_call(
+        _init_all_jit, init_key, ts, label=f"dgmsh-init-{problem.name}")
 
     def run_local(flat_local, lrs, bss, ns, u):
         outs_p, finals = [], []

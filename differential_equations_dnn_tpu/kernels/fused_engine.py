@@ -54,6 +54,22 @@ from differential_equations_dnn_tpu.kernels.fused_train import (
 
 _HIGH = jax.lax.Precision.HIGHEST
 
+# In-process executable memo for the sweep evaluators. Their compiled
+# programs are PRNG-key-INDEPENDENT (keys ride as runtime arguments — the
+# uniforms stream and init folds are data), so evaluators constructed for
+# different sweep keys but identical (problem, model, shape/schedule
+# statics) can share one executable. The AOT disk cache already avoids the
+# remote re-compile, but each construction still paid ~1.4 s of re-lower
+# (tracing) + deserialize per program (measured 2026-08-19, v5e); this
+# memo removes that too. Keyed on hashable frozen dataclasses + statics.
+_EXEC_MEMO: dict = {}
+
+
+def _memo_compile(memo_key, build):
+    if memo_key not in _EXEC_MEMO:
+        _EXEC_MEMO[memo_key] = build()
+    return _EXEC_MEMO[memo_key]
+
 
 # ---------------------------------------------------------------------------
 # Stream layout: groups of (value + Taylor pairs + first-only tangents)
@@ -1288,13 +1304,15 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
             spec, model, flat, m, v, u, 0, lrate=lrate,
             precision=_PRECISIONS[precision], **common)
 
-    jinit = cached_compile(jax.jit(model.init),
-                           jax.random.fold_in(init_key, 0), label="init")
+    memo_key = ("engev", problem, model, batch_size, iterations, precision,
+                schedule, decay, steps_per_cell)
+    jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = cached_compile(jax.jit(run), flat0, zeros, zeros,
-                              uniforms, np.float32(0.0),
-                              label=f"engev-{problem.name}")
+    compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
+        jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
+        label=f"engev-{problem.name}"))
 
     def eval_fn(trial_index: int, lrate: float):
         flat = pack_params(model, jinit(jax.random.fold_in(init_key,
@@ -1384,14 +1402,16 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
             runtime_bs=bs, runtime_steps=n_steps,
             trial_horizon=horizon == "trial")
 
-    jinit = cached_compile(jax.jit(model.init),
-                           jax.random.fold_in(init_key, 0), label="init")
+    memo_key = ("engsw", problem, model, max_batch, max_iters, user_max,
+                precision, schedule, decay, horizon, steps_per_cell)
+    jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
     flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
-    compiled = cached_compile(
+    compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
         jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
         np.int32(max_batch), np.int32(max_iters),
-        label=f"engsw-{problem.name}")
+        label=f"engsw-{problem.name}"))
 
     def eval_fn(trial_index: int, lrate: float, batch_size: int,
                 n_iters: int):
@@ -1448,9 +1468,13 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
             f"with make_mesh({{'pop': N}})")
     n_shards = mesh.shape[pop_axis]
     # vmapped init over the same per-trial folded keys the sequential
-    # evaluator uses — identical values, one batched program.
-    _init_all = jax.jit(lambda ts: jax.vmap(
-        lambda t: model.init(jax.random.fold_in(init_key, t)))(ts))
+    # evaluator uses — identical values, one batched program. Through the
+    # AOT cache per rung width, with the key as an ARGUMENT so the program
+    # is seed-independent (a captured key would miss the cache per sweep).
+    _init_all_jit = jax.jit(lambda ik, ts: jax.vmap(
+        lambda t: model.init(jax.random.fold_in(ik, t)))(ts))
+    _init_all = lambda ts: cached_call(
+        _init_all_jit, init_key, ts, label=f"engsh-init-{problem.name}")
 
     def run_local(flat_local, lrs, bss, ns, u):
         outs_p, finals = [], []
@@ -1538,13 +1562,23 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
     L, H = model.num_layers, model.hidden_size
     shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
 
-    def init_all(ts):
+    # The key rides as an ARGUMENT (a captured init_key would bake into
+    # the lowered HLO, so every new sweep key would hash differently and
+    # miss the AOT cache — measured 10-45 s of pure compile per evaluator
+    # construction over the remote helper, 2026-08-19).
+    def init_all(ik, ts):
         flats = [pack_params(model,
-                             model.init(jax.random.fold_in(init_key, ts[r])))
+                             model.init(jax.random.fold_in(ik, ts[r])))
                  for r in range(n_slots)]
         return stack_replicas(flats)
 
-    jinit_all = jax.jit(init_all)
+    memo_key = ("engprk", problem, model, n_slots, max_batch, max_iters,
+                user_max, precision, schedule, decay, horizon,
+                steps_per_cell, rep_tile)
+    _jinit_c = _memo_compile(memo_key + ("init",), lambda: cached_compile(
+        jax.jit(init_all), init_key, jnp.arange(n_slots, dtype=jnp.int32),
+        label=f"engprk-init-{problem.name}-{n_slots}"))
+    jinit_all = lambda ts: _jinit_c(init_key, ts)
 
     def run(flat, lrs, bss, ns, u):
         zeros = tuple(jnp.zeros_like(t) for t in flat)
@@ -1563,8 +1597,9 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
     lr0 = jnp.full((n_slots,), 1e-4, jnp.float32)
     bs0 = jnp.full((n_slots,), max_batch, jnp.int32)
     ns0 = jnp.full((n_slots,), max_iters, jnp.int32)
-    compiled = cached_compile(jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
-                              label=f"engprk-{problem.name}-{n_slots}")
+    compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
+        jax.jit(run), flat0, lr0, bs0, ns0, uniforms,
+        label=f"engprk-{problem.name}-{n_slots}"))
 
     def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
         if len(trial_indices) != n_slots:

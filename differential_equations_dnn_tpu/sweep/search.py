@@ -134,6 +134,42 @@ class SweepResult:
         return take_trials(self.params, np.array([pos]))
 
 
+# ---- bucketed compile tiles for the fused sweep evaluators ------------------
+
+#: Default row-tile rungs for full-space fused sweeps (VERDICT r4 #3): a
+#: bs=64 trial through a 512-row executable computes 8x its needed rows, so
+#: trials route to the smallest compiled tile >= their batch_size instead.
+#: Runtime row masking still applies WITHIN a bucket; each tile is its own
+#: AOT-cached executable, built lazily (a sweep that never draws a large bs
+#: never compiles the large tile).
+BUCKET_TILES = (64, 128, 256, 512)
+
+
+def _tiles_for(max_bs: int, bucket_tiles, floor: int = 1) -> list[int]:
+    """The compile tiles for a sweep capped at ``max_bs``: every bucket rung
+    in [floor, top) plus the sublane-rounded top tile itself. ``floor`` is
+    the smallest legal tile (e.g. Fredholm's quadrature nodes must fit)."""
+    top = max(-(-int(max_bs) // 64) * 64, int(floor))
+    return sorted({t for t in bucket_tiles if floor <= t < top} | {top})
+
+
+def _bucketed(tiles: list[int], make):
+    """Lazy per-tile evaluator table: ``make(tile)`` compiles an evaluator
+    at that row tile on first use; ``get(bs)`` returns the evaluator of the
+    smallest tile >= bs. NOTE the collocation stream is drawn at tile width,
+    so a trial's trajectory depends on its bucket (each bucket is exactly
+    the unbucketed evaluator compiled at that tile — tested equivalence)."""
+    evs: dict[int, Any] = {}
+
+    def get(bs: int):
+        tile = next((t for t in tiles if t >= bs), tiles[-1])
+        if tile not in evs:
+            evs[tile] = make(tile)
+        return evs[tile]
+
+    return get
+
+
 # ---- random search (the reference's 10-sample Optuna run) -------------------
 
 def _clamp_batch_cap(problem, max_batch_size: int) -> int:
@@ -356,7 +392,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                      max_batch_size: int = 512,
                      gamma: float = 0.25,
                      schedule: str | None = None,
-                     q: int = 1) -> SweepResult:
+                     q: int = 1,
+                     bucket_tiles=BUCKET_TILES) -> SweepResult:
     """TPE with every proposal trained inside the fused Pallas kernel
     through ONE compiled executable.
 
@@ -389,7 +426,15 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     round as ONE packed Mosaic dispatch — the reference's
     ``ConcurrencyLimiter(max_concurrent=5)`` role
     (optimize_heat_ray.py:180) made MXU-filling instead of
-    process-parallel; see :func:`_tpe_fused_batched`."""
+    process-parallel; see :func:`_tpe_fused_batched`.
+
+    ``bucket_tiles``: full-space sweeps compile one executable per row
+    tile in this ladder and route each trial to the smallest tile >= its
+    batch_size (lazily — unused tiles never compile), keeping the runtime
+    row mask within the bucket (VERDICT r4 #3: one 512-row executable
+    made a bs=64 trial compute 8x its needed rows). A trial's collocation
+    stream is drawn at its bucket's width, so each bucket reproduces the
+    unbucketed evaluator compiled at that tile exactly."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
@@ -413,7 +458,7 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
     if q > 1:
         return _tpe_fused_batched(problem, key, num_samples, seed, model,
                                   space, budget, bs, max_batch_size, gamma,
-                                  schedule, q)
+                                  schedule, q, bucket_tiles)
 
     if lr_only and fused_dgm.supports(problem, model, bs):
         _ev = fused_dgm.make_trial_evaluator(problem, key, budget,
@@ -443,13 +488,13 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
             bspec = space.specs.get("batch_size")
             if isinstance(bspec, randint):
                 max_bs = min(max_bs, bspec.high - 1)
-            compile_bs = -(-max_bs // 64) * 64
-            if problem.name == "fredholm":
-                compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
-            _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
-                                                 max_batch=compile_bs,
-                                                 model=model,
-                                                 schedule=schedule)
+            floor = (-(-problem.k // 64) * 64 if problem.name == "fredholm"
+                     else 1)
+            tiles = _tiles_for(max_bs, bucket_tiles, floor)
+            get_ev = _bucketed(tiles, lambda tile:
+                               fused_dgm.make_sweep_evaluator(
+                                   problem, key, budget, max_batch=tile,
+                                   model=model, schedule=schedule))
 
             def resolve(c):
                 return {"lrate": float(c.get("lrate",
@@ -459,8 +504,8 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
                         "n_iters": min(int(c.get("n_iters", budget)),
                                        budget)}
 
-            eval_fn = lambda t, c: _ev(t, c["lrate"], c["batch_size"],
-                                       c["n_iters"])
+            eval_fn = lambda t, c: get_ev(c["batch_size"])(
+                t, c["lrate"], c["batch_size"], c["n_iters"])
         else:
             _ev = fused_dgm.make_sweep_evaluator(problem, key, budget,
                                                  batch_size=bs, model=model,
@@ -480,27 +525,27 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
         bspec = space.specs.get("batch_size")
         if isinstance(bspec, randint):
             max_bs = min(max_bs, bspec.high - 1)
-        # Compile at a sublane-friendly width (multiple of 64): the space's
-        # 511-row cap would give 7x511-row stream tiles padded everywhere;
-        # trials still clamp to max_bs and the mask covers the extra rows.
+        # Bucketed sublane-friendly tiles (multiples of 64): trials clamp
+        # to max_bs, route to the smallest tile >= their bs, and the
+        # runtime row mask covers the remainder within the bucket.
         # The default schedule="constant" mirrors the reference's sweep
         # protocol (optimize_heat_ray.py trials run fixed-lr Adam);
         # "cosine"/"exponential" decay over each trial's OWN n_iters
         # (runtime horizon in-kernel), so sweeping an equation whose
         # solve() default is cosine can match its deployment schedule.
-        compile_bs = -(-max_bs // 64) * 64
-        _ev = fused_engine.make_sweep_evaluator(problem, key, budget,
-                                               max_batch=compile_bs,
-                                               model=model,
-                                               schedule=schedule)
+        tiles = _tiles_for(max_bs, bucket_tiles)
+        get_ev = _bucketed(tiles, lambda tile:
+                           fused_engine.make_sweep_evaluator(
+                               problem, key, budget, max_batch=tile,
+                               model=model, schedule=schedule))
 
         def resolve(c):
             return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
                     "batch_size": min(int(c.get("batch_size", bs)), max_bs),
                     "n_iters": min(int(c.get("n_iters", budget)), budget)}
 
-        eval_fn = lambda t, c: _ev(t, c["lrate"], c["batch_size"],
-                                   c["n_iters"])
+        eval_fn = lambda t, c: get_ev(c["batch_size"])(
+            t, c["lrate"], c["batch_size"], c["n_iters"])
         unpack_params = fused_engine.unpack_params
 
     sampler = TPESampler(space=space, seed=seed, gamma=gamma,
@@ -533,18 +578,20 @@ def tpe_search_fused(problem, key, num_samples: int = 16, seed: int = 0,
 
 
 def _tpe_fused_batched(problem, key, num_samples, seed, model, space,
-                       budget, bs, max_batch_size, gamma, schedule, q):
+                       budget, bs, max_batch_size, gamma, schedule, q,
+                       bucket_tiles=BUCKET_TILES):
     """Batched TPE on the packed fused tier (``tpe_search_fused(q>1)``):
     rounds of q concurrent proposals — the reference's
     ``ConcurrencyLimiter(max_concurrent=5)`` role
-    (optimize_heat_ray.py:180) — each round trained as ONE packed Mosaic
-    dispatch (``make_packed_rung_evaluator``, both engines). Proposals
+    (optimize_heat_ray.py:180) — each round trained as packed Mosaic
+    dispatches (``make_packed_rung_evaluator``, both engines). Proposals
     within a round share the surrogate state (batched-BO semantics; the
     sampler's forced-diversity radius provides in-batch spread), so
     results differ from q=1's fully-sequential proposals — the trade is
     q× fewer dispatches and q MXU/VPU chains overlapping in-kernel. A
-    short final round pads its unused slots with n_iters=0 (pruned
-    in-kernel, ~free)."""
+    round's proposals are grouped by bucket tile (smallest compiled tile
+    >= each trial's bs — VERDICT r4 #3) and each group is one dispatch;
+    unused slots pad with n_iters=0 (pruned in-kernel, ~free)."""
     from differential_equations_dnn_tpu.kernels import fused_dgm, fused_engine
     from differential_equations_dnn_tpu.sweep.tpe import TPESampler
 
@@ -555,22 +602,31 @@ def _tpe_fused_batched(problem, key, num_samples, seed, model, space,
     if isinstance(bspec, randint):
         max_bs = min(max_bs, bspec.high - 1)
     cap = max_bs if has_bs else bs
-    if fused_dgm.supports(problem, model, bs):
-        compile_bs = None
-        if has_bs:
-            compile_bs = -(-max_bs // 64) * 64
-            if problem.name == "fredholm":
-                compile_bs = max(compile_bs, -(-problem.k // 64) * 64)
-        ev = fused_dgm.make_packed_rung_evaluator(
-            problem, key, budget, q, batch_size=bs, max_batch=compile_bs,
-            model=model, schedule=schedule, horizon="trial")
+    is_dgm = fused_dgm.supports(problem, model, bs)
+    if is_dgm:
         unpack = lambda fl: fused_dgm.unpack_dgm(fl)
+        if has_bs:
+            floor = (-(-problem.k // 64) * 64
+                     if problem.name == "fredholm" else 1)
+            tiles = _tiles_for(max_bs, bucket_tiles, floor)
+            get_ev = _bucketed(tiles, lambda tile:
+                               fused_dgm.make_packed_rung_evaluator(
+                                   problem, key, budget, q, batch_size=bs,
+                                   max_batch=tile, model=model,
+                                   schedule=schedule, horizon="trial"))
+        else:
+            _ev = fused_dgm.make_packed_rung_evaluator(
+                problem, key, budget, q, batch_size=bs, max_batch=None,
+                model=model, schedule=schedule, horizon="trial")
+            get_ev = lambda bs_: _ev
     else:
-        compile_bs = -(-cap // 64) * 64
-        ev = fused_engine.make_packed_rung_evaluator(
-            problem, key, budget, q, max_batch=compile_bs, model=model,
-            schedule=schedule, horizon="trial")
         unpack = lambda fl: fused_engine.unpack_params(model, fl)
+        tiles = _tiles_for(cap, bucket_tiles if has_bs else ())
+        get_ev = _bucketed(tiles, lambda tile:
+                           fused_engine.make_packed_rung_evaluator(
+                               problem, key, budget, q, max_batch=tile,
+                               model=model, schedule=schedule,
+                               horizon="trial"))
 
     def resolve(c):
         return {"lrate": float(c.get("lrate", problem.defaults.lrate)),
@@ -586,20 +642,30 @@ def _tpe_fused_batched(problem, key, num_samples, seed, model, space,
     while t0 < num_samples:
         n = min(q, num_samples - t0)
         batch = [resolve(c) for c in sampler.ask(n)]
-        pad = q - n
-        finals, stacked = ev(
-            list(range(t0, t0 + q)),
-            [c["lrate"] for c in batch] + [0.0] * pad,
-            [c["batch_size"] for c in batch] + [1] * pad,
-            [c["n_iters"] for c in batch] + [0] * pad)
-        round_scores = [float(finals[j]) for j in range(n)]
+        # Group this round's proposals by their evaluator (bucket tile):
+        # same-bucket trials share one packed dispatch.
+        groups: dict[int, list[int]] = {}
+        for j, c in enumerate(batch):
+            groups.setdefault(id(get_ev(c["batch_size"])), []).append(j)
+        round_scores = [np.inf] * n
+        round_flats = [None] * n
+        for js in groups.values():
+            ev = get_ev(batch[js[0]]["batch_size"])
+            pad = q - len(js)
+            finals, stacked = ev(
+                [t0 + j for j in js] + [0] * pad,
+                [batch[j]["lrate"] for j in js] + [0.0] * pad,
+                [batch[j]["batch_size"] for j in js] + [1] * pad,
+                [batch[j]["n_iters"] for j in js] + [0] * pad)
+            for pos, j in enumerate(js):
+                round_scores[j] = float(finals[pos])
+                round_flats[j] = tuple(np.asarray(t[pos]) for t in stacked)
         sampler.tell(batch, round_scores)
         for j, (cfg, loss) in enumerate(zip(batch, round_scores)):
             configs.append(cfg)
             scores.append(loss)
             if np.isfinite(loss) and (best is None or loss < best[0]):
-                best = (loss, t0 + j,
-                        tuple(np.asarray(t[j]) for t in stacked))
+                best = (loss, t0 + j, round_flats[j])
         t0 += n
     params = None
     best_idx = int(np.nanargmin(np.where(np.isfinite(scores), scores,
@@ -620,7 +686,8 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                          schedule: str | None = None,
                          draws: dict | None = None,
                          trial_offset: int = 0,
-                         mesh=None) -> SweepResult:
+                         mesh=None,
+                         bucket_tiles=BUCKET_TILES) -> SweepResult:
     """Successive halving (the ASHA role) with every rung evaluation inside
     ONE compiled fused Pallas kernel.
 
@@ -703,12 +770,26 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                 sharded_ev = lambda idx, lrs, bss, ns: _shev(idx, lrs, ns)
             eval_fn = None
         else:
-            # Single-chip rungs run PACKED (one dispatch per rung,
-            # per-slot lr/bs/n_iters runtime vectors — VERDICT r3 #3).
-            packed_ev = fused_dgm.make_packed_rung_evaluator(
-                problem, key, max_budget, num_samples,
-                batch_size=bs, max_batch=compile_bs, model=model,
-                schedule=schedule, horizon="fixed")
+            # Single-chip rungs run PACKED (one dispatch per rung and
+            # bucket tile, per-slot lr/bs/n_iters runtime vectors —
+            # VERDICT r3 #3; tiles per r4 #3).
+            if has_bs:
+                floor = (-(-problem.k // 64) * 64
+                         if problem.name == "fredholm" else 1)
+                tiles = _tiles_for(max_bs, bucket_tiles, floor)
+                packed_ev = _bucketed(tiles, lambda tile:
+                                      fused_dgm.make_packed_rung_evaluator(
+                                          problem, key, max_budget,
+                                          num_samples, batch_size=bs,
+                                          max_batch=tile, model=model,
+                                          schedule=schedule,
+                                          horizon="fixed"))
+            else:
+                _pev = fused_dgm.make_packed_rung_evaluator(
+                    problem, key, max_budget, num_samples,
+                    batch_size=bs, max_batch=None, model=model,
+                    schedule=schedule, horizon="fixed")
+                packed_ev = lambda bs_: _pev
             eval_fn = None
         unpack = lambda stacked: fused_dgm.unpack_dgm(stacked)
     else:
@@ -729,14 +810,16 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
                 model=model, schedule=schedule, horizon="fixed")
             eval_fn = None
         else:
-            # Single-chip rungs run PACKED: every rung is ONE dispatch of
-            # one executable with per-slot lr/bs/n_iters runtime vectors —
-            # pruned slots gate to zero steps (VERDICT r3 #3; replaces the
-            # per-trial sequential dispatch loop).
-            packed_ev = fused_engine.make_packed_rung_evaluator(
-                problem, key, max_budget, num_samples,
-                max_batch=compile_bs, model=model, schedule=schedule,
-                horizon="fixed")
+            # Single-chip rungs run PACKED: every rung is one dispatch per
+            # bucket tile with per-slot lr/bs/n_iters runtime vectors —
+            # pruned slots gate to zero steps (VERDICT r3 #3; bucketed
+            # tiles per r4 #3 — trials pay their own row tile).
+            tiles = _tiles_for(max_bs, bucket_tiles)
+            packed_ev = _bucketed(tiles, lambda tile:
+                                  fused_engine.make_packed_rung_evaluator(
+                                      problem, key, max_budget, num_samples,
+                                      max_batch=tile, model=model,
+                                      schedule=schedule, horizon="fixed"))
             eval_fn = None
         unpack = lambda stacked: fused_engine.unpack_params(model, stacked)
 
@@ -758,16 +841,25 @@ def halving_search_fused(problem, key, num_samples: int = 27, seed: int = 0,
     flats: dict[int, tuple] = {}
     def eval_rung(alive, budget):
         if packed_ev is not None:
-            # The whole rung as ONE packed dispatch: dead slots train 0
-            # steps in-kernel, live ones their rung budget.
-            ns = np.zeros(num_samples, np.int64)
-            ns[alive] = budget
-            finals, flat_out = packed_ev(
-                np.arange(num_samples) + trial_offset, lrates,
-                batch_sizes, ns)
+            # The rung as one packed dispatch PER BUCKET TILE: a trial's
+            # tile is fixed by its bs across rungs (so restart ==
+            # promotion holds bucket-locally); dead slots train 0 steps
+            # in-kernel, live ones their rung budget.
+            groups: dict[int, list[int]] = {}
             for t in alive:
-                last_scores[t] = float(finals[t])
-                flats[int(t)] = tuple(np.asarray(f[t]) for f in flat_out)
+                groups.setdefault(id(packed_ev(int(batch_sizes[t]))),
+                                  []).append(int(t))
+            for members in groups.values():
+                pev = packed_ev(int(batch_sizes[members[0]]))
+                ns = np.zeros(num_samples, np.int64)
+                ns[members] = budget
+                finals, flat_out = pev(
+                    np.arange(num_samples) + trial_offset, lrates,
+                    batch_sizes, ns)
+                for t in members:
+                    last_scores[t] = float(finals[t])
+                    flats[int(t)] = tuple(np.asarray(f[t])
+                                          for f in flat_out)
             return
         if sharded_ev is None:
             for t in alive:
@@ -873,7 +965,7 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
                       max_batch_size: int = 512,
                       schedule: str | None = None,
                       brackets: int = 3, gamma: float = 0.1,
-                      mesh=None) -> SweepResult:
+                      mesh=None, bucket_tiles=BUCKET_TILES) -> SweepResult:
     """The reference's full scheduler pairing (OptunaSearch + ASHA,
     optimize_heat_ray.py:179-181) entirely on the fused tier: TPE proposes
     each bracket's configs, ``halving_search_fused`` prunes them with
@@ -903,6 +995,7 @@ def tpe_halving_fused(problem, key, num_samples: int = 27, seed: int = 0,
             max_budget=max_budget, batch_size=batch_size,
             max_batch_size=max_batch_size, schedule=schedule,
             draws=draws, trial_offset=b * per_bracket, mesh=mesh,
+            bucket_tiles=bucket_tiles,
         )
 
     return _tpe_brackets(space, seed, gamma, brackets, num_samples, inner)

@@ -711,3 +711,130 @@ def test_packed_rung_evaluator_matches_sequential(key):
                                max_batch_size=16)
     assert res.best_config["n_iters"] == 32
     assert np.isfinite(res.best_score)
+
+
+# ---- bucketed compile tiles (VERDICT r4 #3) ---------------------------------
+
+
+def _tile_of(bs, tiles):
+    return next((t for t in tiles if t >= bs), tiles[-1])
+
+
+def test_bucketed_sweep_tiles_route_and_match(key):
+    """Full-space fused sweeps route each trial to the smallest compiled
+    tile >= its batch_size (VERDICT r4 #3: a bs=64 trial through a 512-row
+    executable computed 8x its needed rows). A bucketed trial must
+    reproduce the UNBUCKETED sweep evaluator compiled at that tile exactly
+    (same trial index -> same init fold; the collocation stream is drawn
+    at the tile's width)."""
+    from differential_equations_dnn_tpu.kernels import fused_engine
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+    from differential_equations_dnn_tpu.sweep.search import _tiles_for
+
+    assert _tiles_for(15, (8, 16)) == [8, 16, 64]
+    assert _tiles_for(512, (64, 128, 256, 512)) == [64, 128, 256, 512]
+    assert _tiles_for(100, (64, 128, 256, 512), floor=64) == [64, 128]
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16),
+                         "n_iters": randint(10, 25)})
+    res = tpe_search_fused(prob, key, num_samples=4, space=space,
+                           max_iters=24, max_batch_size=15,
+                           bucket_tiles=(8, 16))
+    assert len({c["batch_size"] for c in res.configs}) >= 1
+    evs = {}
+    for t, (cfg, score) in enumerate(zip(res.configs, res.scores)):
+        tile = _tile_of(cfg["batch_size"], [8, 16, 64])
+        if tile not in evs:
+            evs[tile] = fused_engine.make_sweep_evaluator(
+                prob, key, 24, max_batch=tile, model=model,
+                schedule="constant")
+        losses, _ = evs[tile](t, cfg["lrate"], cfg["batch_size"],
+                              cfg["n_iters"])
+        np.testing.assert_allclose(score, float(losses[-1]), rtol=1e-6)
+
+
+def test_bucketed_packed_rounds_match_sequential(key):
+    """q>1 rounds group proposals by bucket tile — one packed dispatch per
+    group — and every trial still matches the sequential unbucketed
+    evaluator compiled at its tile (tight-allclose: packed vs sequential
+    are different executables)."""
+    from differential_equations_dnn_tpu.kernels import fused_engine
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16),
+                         "n_iters": randint(10, 25)})
+    res = tpe_search_fused(prob, key, num_samples=4, q=4, space=space,
+                           max_iters=24, max_batch_size=15,
+                           bucket_tiles=(8, 16))
+    assert len(res.configs) == 4
+    evs = {}
+    for t, (cfg, score) in enumerate(zip(res.configs, res.scores)):
+        tile = _tile_of(cfg["batch_size"], [8, 16, 64])
+        if tile not in evs:
+            evs[tile] = fused_engine.make_sweep_evaluator(
+                prob, key, 24, max_batch=tile, model=model,
+                schedule="constant")
+        losses, _ = evs[tile](t, cfg["lrate"], cfg["batch_size"],
+                              cfg["n_iters"])
+        np.testing.assert_allclose(score, float(losses[-1]), rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_bucketed_halving_rungs_promotion_exact(key):
+    """Bucketed halving: a trial's tile is fixed by its bs across rungs,
+    so restart == promotion still holds — the winner's final score equals
+    a direct full-budget evaluation at its config through the unbucketed
+    evaluator compiled at its tile."""
+    from differential_equations_dnn_tpu.kernels import fused_engine
+    from differential_equations_dnn_tpu.sweep import halving_search_fused
+
+    prob = SimpleODE()
+    model = prob.default_model()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16)})
+    res = halving_search_fused(prob, key, num_samples=4, space=space,
+                               eta=2, min_budget=8, max_budget=32,
+                               max_batch_size=15, bucket_tiles=(8, 16),
+                               seed=5)
+    assert np.isfinite(res.best_score)
+    cfg = res.best_config
+    assert cfg["n_iters"] == 32
+    tile = _tile_of(cfg["batch_size"], [8, 16, 64])
+    ev = fused_engine.make_sweep_evaluator(prob, key, 32, max_batch=tile,
+                                           model=model, schedule="constant",
+                                           horizon="fixed")
+    losses, _ = ev(res.best_index, cfg["lrate"], cfg["batch_size"], 32)
+    np.testing.assert_allclose(res.best_score, float(losses[-1]), rtol=1e-5)
+
+
+def test_bucketed_dgm_full_space(key):
+    """The DGM engine's full-space route buckets too (floor at Fredholm's
+    quadrature tile when applicable); each trial matches the unbucketed
+    DGM sweep evaluator at its tile."""
+    from differential_equations_dnn_tpu.equations import FitzHughNagumo
+    from differential_equations_dnn_tpu.kernels import fused_dgm
+    from differential_equations_dnn_tpu.sweep import tpe_search_fused
+
+    prob = FitzHughNagumo(arch="dgm", causal_eps=0.0)
+    model = prob.default_model()
+    space = SearchSpace({"lrate": loguniform(1e-4, 1e-2),
+                         "batch_size": randint(2, 16)})
+    res = tpe_search_fused(prob, key, num_samples=2, space=space,
+                           max_iters=12, max_batch_size=15,
+                           bucket_tiles=(8, 16))
+    evs = {}
+    for t, (cfg, score) in enumerate(zip(res.configs, res.scores)):
+        tile = _tile_of(cfg["batch_size"], [8, 16, 64])
+        if tile not in evs:
+            evs[tile] = fused_dgm.make_sweep_evaluator(
+                prob, key, 12, max_batch=tile, model=model,
+                schedule="constant")
+        losses, _ = evs[tile](t, cfg["lrate"], cfg["batch_size"],
+                              cfg["n_iters"])
+        np.testing.assert_allclose(score, float(losses[-1]), rtol=1e-6)

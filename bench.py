@@ -95,7 +95,8 @@ INLINE_KEYS = [
     "mae_vs_exact", "reference_mae",
     "incomplete", "provisional", "watchdog_fired_at_s",
     "compile_time_s", "us_per_step", "achieved_matmul_tflops",
-    "mxu_heavy_utilisation_vs_peak", "mxu_heavy_achieved_matmul_tflops",
+    "mxu_heavy_utilisation_vs_peak", "mxu_heavy_bf16_utilisation_vs_peak",
+    "mxu_heavy_achieved_matmul_tflops", "mxu_heavy_bf16_achieved_matmul_tflops",
     "mxu_heavy_iters_per_sec",
     "packed_vs_sequential_speedup", "packed_replica_iters_per_sec",
     "packed_mxu_utilisation_vs_peak",
@@ -629,21 +630,48 @@ def run_mxu_heavy() -> None:
     model = MLP(input_dim=2, output_dim=1, hidden_size=256, num_layers=3,
                 activation="tanh")
     B, iters = 512, 24_000
-    res = fe.train_fused_result(problem, jax.random.key(0), iters,
-                                batch_size=B, lrate=1e-4, model=model,
-                                precision="mixed", chunk_size=iters)
-    tf = step_flops(model, B) * (iters / res.wall_time) / 1e12
-    _extras["mxu_heavy_config"] = f"heat H=256 L=3 B={B} mixed"
-    _extras["mxu_heavy_iters_per_sec"] = round(iters / res.wall_time, 1)
-    _extras["mxu_heavy_achieved_matmul_tflops"] = round(tf, 2)
-    _extras["mxu_heavy_final_loss"] = float(res.loss_history[-100:].mean())
+    flops = step_flops(model, B)
     nominal = _extras.get("nominal_bf16_tflops")
-    if nominal:
-        _extras["mxu_heavy_utilisation_vs_peak"] = round(tf / nominal, 4)
+    # Warm-rep (VERDICT r4 #4): rep0 pays cold-dispatch cost (r4: cold 40.4
+    # vs warm 50.3 TFLOP/s mixed) — 2 reps per precision, best taken, all
+    # walls recorded. Three precisions make the roofline explicit (see
+    # docs/KERNELS.md "Roofline"): the bf16 phase is the MXU-capability
+    # number (like-for-like vs the bf16 nominal peak; measured 0.470 on
+    # v5e, 2026-08-19); the deployment ``mixed`` schedule averages its 65%
+    # bf16 + 35% exact-fp32 phases (fp32 ~23 TFLOP/s — the MXU is
+    # bf16-native) to ~0.25 vs peak. ``mxu_heavy_utilisation_vs_peak``
+    # stays the MIXED (deployment) number for r4-comparability.
+    res = None
+    for prec in ("mixed", "default", "highest"):
+        best = None
+        walls = []
+        for _ in range(2):
+            r = fe.train_fused_result(problem, jax.random.key(0), iters,
+                                      batch_size=B, lrate=1e-4, model=model,
+                                      precision=prec, chunk_size=iters)
+            walls.append(round(r.wall_time, 2))
+            if best is None or r.wall_time < best.wall_time:
+                best = r
+        tf = flops * (iters / best.wall_time) / 1e12
+        tag = {"mixed": "", "default": "_bf16", "highest": "_fp32"}[prec]
+        _extras[f"mxu_heavy{tag}_wall_samples_s"] = walls
+        _extras[f"mxu_heavy{tag}_achieved_matmul_tflops"] = round(tf, 2)
+        if nominal:
+            _extras[f"mxu_heavy{tag}_utilisation_vs_peak"] = round(
+                tf / nominal, 4)
+        if prec == "mixed":
+            res = best
+            _extras["mxu_heavy_iters_per_sec"] = round(
+                iters / best.wall_time, 1)
+        emit()
+    _extras["mxu_heavy_config"] = (
+        f"heat H=256 L=3 B={B}; utilisation key = mixed (deployment), "
+        f"_bf16/_fp32 = single-precision phases")
+    _extras["mxu_heavy_final_loss"] = float(res.loss_history[-100:].mean())
     fp32_anchor = _extras.get("calibration_matmul_fp32_tflops")
     if fp32_anchor:
         _extras["mxu_heavy_utilisation_vs_calibration"] = round(
-            tf / fp32_anchor, 3)
+            _extras["mxu_heavy_achieved_matmul_tflops"] / fp32_anchor, 3)
 
 
 # Per-equation regression tier (VERDICT r3 #8): one {mae, iters/s} record
@@ -658,8 +686,8 @@ EQUATION_TIER = [
     ("advection", "fused"),
     ("fredholm", "fused"),
     ("fitzhugh_nagumo", "fused"),
-    ("uat", "scan"),
-    ("inverse_heat", "scan"),
+    ("uat", "fused"),
+    ("inverse_heat", "fused"),
 ]
 
 
@@ -723,7 +751,7 @@ def main() -> int:
     # comparison extras, so budget exhaustion costs the least-new numbers.
     section("calibration", 60.0, run_calibration)  # anchors packed ratios
     section("packed", 240.0, run_packed)
-    section("mxu_heavy", 150.0, run_mxu_heavy)
+    section("mxu_heavy", 240.0, run_mxu_heavy)
     section("equations", 120.0, run_equations)
     section("fp32", 90.0, lambda: run_fp32(problem, r1.params))
     section("scan", 120.0, lambda: run_scan(problem, value))

@@ -66,6 +66,12 @@ def main(full: bool = False):
         # masks): proves the construction LOWERS on real Mosaic — the CPU
         # suite only exercises it in interpret mode (ADVICE r3).
         ("volterra", {}, dict(iterations=2000), 0.05),
+        # Round 5: the last two fused routes. uat = Perceptron via the L=0
+        # engine layout; inverse_heat = extra-tensor log κ̂ + one-hot obs
+        # selection matmul — both constructions are CPU-interpret-tested
+        # only until this proves them on real Mosaic.
+        ("uat", {}, dict(iterations=20_000, lrate=1e-3), 0.05),
+        ("inverse_heat", {}, dict(iterations=3000), 0.05),
     ]
     for name, pkw, reduced, bound in fused_cases:
         kwargs = {} if full else dict(reduced)

@@ -192,7 +192,8 @@ def solve(equation: str | Problem, *, iterations: int | None = None,
     ``engine`` selects the training executor: "scan" (default) is the
     generic jitted lax.scan trainer; "fused" runs the whole loop inside one
     Pallas kernel (heat via the specialised kernels.fused_train; the other
-    MLP equations — wave, poisson, heat2d, burgers, simple_ode, volterra —
+    MLP equations — wave, poisson, heat2d, burgers, simple_ode, volterra,
+    plus uat's Perceptron and inverse_heat's net + learnable κ̂ —
     via the generic kernels.fused_engine; the DGM-architecture equations —
     fitzhugh_nagumo dgm arch, fredholm gauss — via kernels.fused_dgm with
     a hand-derived VJP of the gate recurrence; heat/wave/poisson with

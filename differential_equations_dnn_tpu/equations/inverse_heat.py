@@ -49,6 +49,20 @@ class _InverseModel:
         # via cli --export); delegate to the wrapped net.
         return self.net.input_dim
 
+    # Engine-view dims (kernels.fused_engine._engine_dims): the fused spec
+    # trains the wrapped MLP's tensors plus log κ̂ as an extra state tensor.
+    @property
+    def hidden_size(self):
+        return self.net.hidden_size
+
+    @property
+    def num_layers(self):
+        return self.net.num_layers
+
+    @property
+    def output_dim(self):
+        return self.net.output_dim
+
     def kappa(self, params):
         return jnp.exp(params["log_kappa"])
 

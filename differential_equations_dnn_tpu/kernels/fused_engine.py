@@ -20,11 +20,13 @@ per-equation **stream spec**:
   elementwise graph Mosaic lowers fine; it is the big jvp-over-jvp graphs
   that are impractical to compile, and those stay hand-written here.
 
-Specs are registered for simple_ode, heat, burgers, wave, poisson and
-heat2d — every tanh-MLP equation in the zoo trains inside one Mosaic
-kernel. (Integral equations keep the XLA scan: their quadrature already
-runs as one fused matmul chain there; DGM/Fourier/BatchNorm architectures
-are likewise scan-path only.)
+Specs are registered for simple_ode, heat, burgers, wave, poisson,
+heat2d, advection, volterra (Gauss quadrature), uat (the Perceptron via
+the L=0 layout) and inverse_heat (solution MLP + learnable log κ̂ as an
+``extra_shapes`` state tensor) — every registry equation trains inside
+one Mosaic kernel on some fused engine (fredholm / fitzhugh_nagumo on
+kernels.fused_dgm). DGM/Fourier/BatchNorm architectures and stochastic
+-quadrature modes are scan-path only.
 
 Reference hot loop being replaced: the per-script Python training loops,
 e.g. heat.py:124-147, simple_ode.py:91-110.
@@ -44,7 +46,6 @@ from differential_equations_dnn_tpu.kernels.aot_cache import (
     fused_prologue,
 )
 from differential_equations_dnn_tpu.kernels.fused_train import (
-    _N_TENSORS,
     _PRECISIONS,
     _dot_nt,
     _dot_tn,
@@ -69,6 +70,54 @@ def _memo_compile(memo_key, build):
     if memo_key not in _EXEC_MEMO:
         _EXEC_MEMO[memo_key] = build()
     return _EXEC_MEMO[memo_key]
+
+
+# ---------------------------------------------------------------------------
+# Spec protocol extensions (all optional, with MLP defaults)
+#
+# A spec may additionally declare:
+#   * ``extra_shapes`` — shapes of EXTRA trainable tensors appended after the
+#     six MLP tensors (Adam-updated in-kernel like any other state tensor).
+#     The loss receives them as ``ctx["extras"]`` and their gradient is taken
+#     through the loss vjp — so extras may appear in the LOSS only, not in
+#     ``build`` (inverse_heat's learnable log κ is the canonical use).
+#   * ``build_with_const`` — ``build(u, const)`` instead of ``build(u)``:
+#     the step's input rows need the const operand (inverse_heat selects its
+#     observation minibatch out of the const-resident dataset).
+#   * ``pack(model, params)`` / ``unpack(model, flat)`` — params-pytree ↔
+#     flat-tuple converters for non-MLP parameter layouts (Perceptron,
+#     inverse_heat's net+κ wrapper). Default: fused_train.pack_params.
+#   * ``supports_model(model)`` — replaces the default plain-tanh-MLP check
+#     in :func:`supports`.
+# ---------------------------------------------------------------------------
+
+
+def _engine_dims(model):
+    """(D, H, L, O) of the model's engine view. ``num_layers`` defaults to 0
+    for single-hidden-layer models without the attribute (Perceptron runs
+    with zeroed hidden tensors — zero grads keep them zero under Adam)."""
+    return (model.input_dim, model.hidden_size,
+            getattr(model, "num_layers", 0), model.output_dim)
+
+
+def _shapes_for(spec, model):
+    """Kernel state-tensor shapes: the six MLP tensors plus the spec's
+    ``extra_shapes`` (extra trainable tensors, e.g. inverse_heat's log κ)."""
+    D, H, L, O = _engine_dims(model)
+    return ([(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+            + [tuple(s) for s in getattr(spec, "extra_shapes", ())])
+
+
+def _pack_fn(spec, model):
+    if hasattr(spec, "pack"):
+        return functools.partial(spec.pack, model)
+    return functools.partial(pack_params, model)
+
+
+def _unpack_fn(spec, model):
+    if hasattr(spec, "unpack"):
+        return functools.partial(spec.unpack, model)
+    return functools.partial(unpack_params, model)
 
 
 # ---------------------------------------------------------------------------
@@ -192,12 +241,16 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     ``batch_mask`` [B, 1] + ``inv_bs`` switch the spec's loss to the
     runtime-batch-size masked partial sum (sweep evaluators)."""
     groups = spec.groups
-    w_in, b_in, w_hid, b_hid, w_out, b_out = params
-    X, ctx = spec.build(u)
+    w_in, b_in, w_hid, b_hid, w_out, b_out = params[:6]
+    extras = tuple(params[6:])
     if const is None and hasattr(spec, "make_const"):
         # Direct (non-kernel) calls build the const lazily; inside a Pallas
         # body it must arrive via the const operand (no captured ndarrays).
         const = spec.make_const(B)
+    if getattr(spec, "build_with_const", False):
+        X, ctx = spec.build(u, const)
+    else:
+        X, ctx = spec.build(u)
     if const is not None:
         ctx = {**ctx, "const": const}
     if batch_mask is not None:
@@ -221,8 +274,16 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     # autodiff even inside a Mosaic kernel body. vjp (not value_and_grad)
     # because spec losses are [1, 1] keepdims values, never rank-0 (see
     # _ksum — the kernel's loss-row write needs a broadcastable 2-D value).
-    loss, vjp_fn = jax.vjp(lambda o: spec.loss(o, ctx), outs)
-    gouts, = vjp_fn(jnp.ones_like(loss))
+    # Extra trainable tensors (spec.extra_shapes) ride the same vjp: their
+    # only influence is through the loss, so d_loss/d_extras comes for free.
+    if extras:
+        loss, vjp_fn = jax.vjp(
+            lambda o, e: spec.loss(o, {**ctx, "extras": e}), outs, extras)
+        gouts, gextras = vjp_fn(jnp.ones_like(loss))
+    else:
+        loss, vjp_fn = jax.vjp(lambda o: spec.loss(o, ctx), outs)
+        gouts, = vjp_fn(jnp.ones_like(loss))
+        gextras = ()
     G = jnp.concatenate(gouts, 0)
 
     # ---- backward (identical algebra to fused_train, generic act rules) ----
@@ -244,7 +305,8 @@ def engine_step_math(spec, params, u, B, L, precision=_HIGH,
     d_w_in = _dot_tn(X, dz, precision)
     d_b_in = jnp.sum(mask * dz, axis=0)
 
-    return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out, d_b_out)
+    return loss, (d_w_in, d_b_in, d_w_hid, d_b_hid, d_w_out,
+                  d_b_out) + tuple(gextras)
 
 
 # ---------------------------------------------------------------------------
@@ -760,15 +822,35 @@ class VolterraSpec:
         X = jnp.concatenate([x] + [x * c for c in cs], 0)
         return X, {"x": x}
 
+    # Precompute the full selection matrix when it fits this element budget
+    # (fp32: 4 MiB of VMEM const); bigger tiles (512-row sweep evaluators)
+    # fall back to the per-step iota construction.
+    P_MAX_ELEMS = 1 << 20
+
     def make_const(self, B):
-        """[1, (1+k)·B] per-column quadrature coefficients (zeros for the
-        collocation group) — rides the kernel's const operand (a captured
-        ndarray constant is rejected by pallas_call)."""
+        """Quadrature selection constant — rides the kernel's const operand
+        (a captured ndarray constant is rejected by pallas_call). Two
+        layouts, distinguished by shape[0] in :meth:`loss`:
+
+        * [B, (1+k)·B] — the FULL selection matrix P[b, (1+j)·B+b] =
+          (c_j−1)·w_j, host-precomputed. The matrix is constant across
+          steps, so building it per step from two [B, (1+k)·B] iotas +
+          floor/compare/select (~6 VPU passes over the block, every step)
+          was pure waste — VERDICT r5 (r4 weak #4).
+        * [1, (1+k)·B] — the per-column coefficient row (the old layout),
+          kept for tiles where the full matrix would blow the VMEM budget;
+          the loss then rebuilds P from iotas in-kernel as before.
+        """
         cs, ws = self._nodes()
         coeff = np.concatenate(
             [np.zeros(B, np.float32)]
             + [np.full(B, (c - 1.0) * w, np.float32)
                for c, w in zip(cs, ws)])
+        if (1 + self.p.k) * B * B <= self.P_MAX_ELEMS:
+            col = np.arange((1 + self.p.k) * B)
+            P = np.where(col[None, :] % B == np.arange(B)[:, None],
+                         coeff[None, :], 0.0).astype(np.float32)
+            return jnp.asarray(P)
         return jnp.asarray(coeff)[None, :]
 
     def loss(self, outs, ctx):
@@ -783,24 +865,153 @@ class VolterraSpec:
         # measured reason the volterra kernel only TIED the XLA scan.
         B = yhat.shape[0]
         out_full = jnp.concatenate(outs, 0)              # [(1+k)·B, 1]
-        coeff = ctx["const"]                             # [1, (1+k)·B]
-        # col mod B in FLOAT, same construction as AdvectionSpec's stride
-        # permutation above: Mosaic rejects vector integer rem, and the CPU
-        # tests run in interpret mode where an int rem would pass CI yet
-        # fail to lower on the chip (ADVICE r3). col < (1+k)·B ≪ 2^24 so
-        # the products are exact in fp32.
-        # fp32 regardless of the kernel phase dtype: col reaches (1+k)·B
-        # (thousands), which bf16's 8-bit mantissa cannot represent exactly.
-        shape = (B, coeff.shape[1])
-        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
-            jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(
-            jnp.float32)
-        q = jnp.floor(col * (1.0 / B))
-        P = jnp.where(col - q * float(B) == row, coeff, 0.0)
-        acc = jnp.dot(P, out_full, precision=_HIGH)      # [B, 1]
+        const = ctx["const"]
+        if const.shape[0] == B:
+            # Host-precomputed selection matrix (see make_const): the
+            # quadrature sum is ONE matmul, no per-step matrix build.
+            acc = jnp.dot(const, out_full, precision=_HIGH)  # [B, 1]
+        else:
+            coeff = const                                # [1, (1+k)·B]
+            # col mod B in FLOAT, same construction as AdvectionSpec's
+            # stride permutation above: Mosaic rejects vector integer rem,
+            # and the CPU tests run in interpret mode where an int rem
+            # would pass CI yet fail to lower on the chip (ADVICE r3).
+            # col < (1+k)·B ≪ 2^24 so the products are exact in fp32.
+            # fp32 regardless of the kernel phase dtype: col reaches
+            # (1+k)·B (thousands), past bf16's 8-bit mantissa.
+            shape = (B, coeff.shape[1])
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(
+                jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(
+                jnp.float32)
+            q = jnp.floor(col * (1.0 / B))
+            P = jnp.where(col - q * float(B) == row, coeff, 0.0)
+            acc = jnp.dot(P, out_full, precision=_HIGH)  # [B, 1]
         r = yhat - x - (x * x) * acc
         return _smean(jnp.square(r), ctx)
+
+
+@dataclass(frozen=True)
+class UATSpec:
+    """Universal-approximation demo: full-batch MSE fit of sin(freq·x) on
+    the fixed [low, high] grid (equations.uat; ref
+    demo_universal_approx_theorem.py:50-73). The simplest possible spec —
+    one value-only group, targets computed in-kernel from an iota grid.
+    The B kernel rows ARE the grid (B = n_points at the deployment
+    default; any other B trains on a B-point linspace of the same span).
+    Trains the reference's Perceptron (1→H→1 tanh) via the L=0 engine
+    layout: zeroed hidden tensors see zero grads, so Adam leaves them 0."""
+    p: object
+    n_uniform: int = 1
+    groups = (Group(),)
+
+    def build(self, u):
+        B = u.shape[0]
+        # int32 iota then cast: Mosaic's tpu.iota is integer-only (a float
+        # iota verifies in interpret mode but fails to lower on the chip —
+        # caught by the round-5 on-chip verify drive).
+        i = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).astype(jnp.float32)
+        x = self.p.low + (self.p.high - self.p.low) * i / max(B - 1, 1)
+        return x, {"x": x}
+
+    def loss(self, outs, ctx):
+        y = outs[0]
+        return _smean(jnp.square(y - jnp.sin(self.p.freq * ctx["x"])), ctx)
+
+    def supports_model(self, model):
+        return type(model).__name__ == "Perceptron"
+
+    @staticmethod
+    def pack(model, params):
+        w1 = params["fc1"]["w"]
+        H = model.hidden_size
+        lead = w1.shape[:-2]  # () single / (N,) stacked pytrees
+        return (w1, params["fc1"]["b"],
+                jnp.zeros(lead + (1, H, H), w1.dtype),
+                jnp.zeros(lead + (1, H), w1.dtype),
+                params["fc2"]["w"], params["fc2"]["b"])
+
+    @staticmethod
+    def unpack(model, flat):
+        return {"fc1": {"w": flat[0], "b": flat[1]},
+                "fc2": {"w": flat[4], "b": flat[5]}}
+
+
+@dataclass(frozen=True)
+class InverseHeatSpec:
+    """Inverse heat problem (equations.inverse_heat): jointly train the
+    solution MLP and the unknown diffusivity log κ̂ — the κ̂ scalar rides
+    the engine's ``extra_shapes`` slot as a [1, 1] tensor, Adam-updated
+    in-kernel alongside the six MLP tensors; its gradient flows through
+    the loss vjp (the residual term u_t − exp(log κ̂)·u_xx).
+
+    Streams: interior value + (x', x'') Taylor pair + t' tangent, plus one
+    value-only group for the observation minibatch. The fixed synthetic
+    observation dataset [n_obs, 3] (x, t, u_obs) rides the const operand;
+    each step's B observation rows are selected by ONE one-hot [B, n_obs]
+    matmul built from a uniform column (floor(u·n_obs) — float-iota
+    compare, no gather: Mosaic-safe, same construction as VolterraSpec's
+    selection matrix), matching the scan path's per-step randint draw in
+    distribution."""
+    p: object
+    n_uniform: int = 3
+    groups = (Group(n_second=1, n_first=1),  # interior: v, (x', x''), t'
+              Group())                       # observation minibatch
+    extra_shapes = ((1, 1),)                 # log κ̂
+    build_with_const = True
+
+    def make_const(self, B):
+        obs_xt, obs_u = self.p.observations()
+        return jnp.concatenate([obs_xt, obs_u], axis=1)  # [n_obs, 3]
+
+    def build(self, u, const):
+        x = self.p.x_max * u[:, :1]
+        t = self.p.t_max * u[:, 1:2]
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        n_obs = const.shape[0]
+        # One-hot observation selection: row b picks index floor(u3·n_obs).
+        # Float compare (col indices ≤ n_obs ≪ 2^24, exact in fp32); the
+        # two [B, n_obs] matmuls stay fp32 regardless of the kernel phase
+        # (bf16 would quantise the observation values themselves).
+        sel = jnp.floor(u[:, 2:3] * n_obs)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], n_obs), 1).astype(jnp.float32)
+        P = (col == sel).astype(const.dtype)
+        obs_xt = jnp.dot(P, const[:, :2], precision=_HIGH)
+        obs_u = jnp.dot(P, const[:, 2:3], precision=_HIGH)
+        X = jnp.concatenate([
+            _cat(x, t), _cat(one, zero), _cat(zero, zero), _cat(zero, one),
+            obs_xt,
+        ], 0)
+        return X, {"obs_u": obs_u}
+
+    def loss(self, outs, ctx):
+        u_, u_x, u_xx, u_t, y_obs = outs
+        kappa = jnp.exp(ctx["extras"][0])  # [1, 1] broadcasts over [B, 1]
+        r = u_t - kappa * u_xx
+        d = y_obs - ctx["obs_u"]
+        return _smean(jnp.square(r)
+                      + self.p.data_weight * jnp.square(d), ctx)
+
+    def supports_model(self, model):
+        net = getattr(model, "net", None)
+        return (type(model).__name__ == "_InverseModel" and net is not None
+                and type(net).__name__ == "MLP" and net.batch_norm is None
+                and net.activation == "tanh"
+                and not getattr(net, "fourier_features", 0))
+
+    @staticmethod
+    def pack(model, params):
+        flat = pack_params(model.net, params["net"])
+        lk = params["log_kappa"]
+        return flat + (jnp.reshape(lk, lk.shape + (1, 1)),)
+
+    @staticmethod
+    def unpack(model, flat):
+        lk = flat[6]
+        return {"net": unpack_params(model.net, flat[:6]),
+                "log_kappa": jnp.reshape(lk, lk.shape[:-2])}
 
 
 SPECS = {
@@ -812,6 +1023,8 @@ SPECS = {
     "poisson": PoissonSpec,
     "heat2d": Heat2DSpec,
     "volterra": VolterraSpec,
+    "uat": UATSpec,
+    "inverse_heat": InverseHeatSpec,
 }
 
 
@@ -875,8 +1088,7 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
     )
 
     K, B, U = uniforms.shape
-    L, H = model.num_layers, model.hidden_size
-    D, O = model.input_dim, model.output_dim
+    D, H, L, O = _engine_dims(model)
     R = _n_rows(spec.groups)
     if steps_per_cell is None:
         # Anchor: heat (R=7) runs S=100 at B=64 -> working set ~ R*B*S rows.
@@ -916,7 +1128,7 @@ def fused_engine_chunk(spec, model, params, m, v, uniforms, step0, lrate,
 
     const = (spec.make_const(B // T) if hasattr(spec, "make_const")
              else None)
-    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    shapes = _shapes_for(spec, model)
     return run_fused_chunk(step_math, shapes, params, m, v, uniforms, step0,
                            lrate, S, T=T, const=const, schedule=schedule,
                            total_steps=total_steps, decay=decay,
@@ -935,6 +1147,11 @@ def supports(problem, model=None) -> bool:
     if spec is None:
         return False
     model = model or problem.default_model()
+    check = getattr(spec, "supports_model", None)
+    if check is not None:
+        # Spec-specific model contract (UAT's Perceptron, inverse_heat's
+        # net+κ wrapper) replaces the default plain-tanh-MLP rule.
+        return bool(check(model))
     hard_problem = getattr(problem, "constraint", "soft") == "hard"
     if type(model).__name__ == "HardConstraint":
         if not hard_problem:
@@ -1031,7 +1248,7 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
     mxu_precision = _PRECISIONS[precision]
 
     run_key, flat, m, v = fused_prologue(
-        model, functools.partial(pack_params, model), key, params, opt_state)
+        model, _pack_fn(spec, model), key, params, opt_state)
 
     run = jax.jit(functools.partial(
         fused_engine_chunk, spec, model, lrate=lrate,
@@ -1066,9 +1283,10 @@ def train_fused_result(problem, key, iterations, batch_size=64, lrate=1e-4,
         done += k
     flat = tuple(np.asarray(t) for t in flat)  # host-copy sync (see above)
     wall = time.perf_counter() - t0
+    unpack = _unpack_fn(spec, model)
     return TrainResult(
-        params=unpack_params(model, flat),
-        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
+        params=unpack(flat),
+        opt_state={"m": unpack(m), "v": unpack(v)},
         loss_history=np.concatenate(losses_out),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),
@@ -1095,8 +1313,7 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
     )
 
     K, B, U = uniforms.shape
-    L, H = model.num_layers, model.hidden_size
-    D, O = model.input_dim, model.output_dim
+    D, H, L, O = _engine_dims(model)
     R = _n_rows(spec.groups)
     if steps_per_cell is None:
         steps_per_cell = max(1, 44_800 // (R * B))
@@ -1111,7 +1328,7 @@ def fused_engine_packed_chunk(spec, model, params, m, v, uniforms, step0,
     if B % batch_tile:
         raise ValueError(f"batch {B} not divisible by batch_tile {batch_tile}")
     T = B // batch_tile
-    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    shapes = _shapes_for(spec, model)
     if rep_tile is None:
         # Bound the resident replica-group state (p+m+v, in+out copies) to
         # ~24 MiB of the 100 MiB VMEM grant, leaving room for the step
@@ -1175,14 +1392,13 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
         unstack_replicas,
     )
 
-    D, O = model.input_dim, model.output_dim
-    L, H = model.num_layers, model.hidden_size
-    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    shapes = _shapes_for(spec, model)
+    pack = _pack_fn(spec, model)
 
     init_key, run_key = cached_split(key)
 
     def init_all(ik):
-        flats = [pack_params(model, model.init(jax.random.fold_in(ik, r)))
+        flats = [pack(model.init(jax.random.fold_in(ik, r)))
                  for r in range(n_replicas)]
         zeros = tuple(jnp.zeros_like(t) for t in stack_replicas(flats))
         return stack_replicas(flats), zeros
@@ -1250,7 +1466,8 @@ def train_fused_ensemble_packed(problem, key, iterations, n_replicas,
         timings["compile_time"] = compile_time
         timings["run_time"] = wall
     losses = np.concatenate([np.asarray(l) for l in losses_out], axis=1)
-    params_list = [unpack_params(model, f)
+    unpack = _unpack_fn(spec, model)
+    params_list = [unpack(f)
                    for f in unstack_replicas(flat, shapes, n_replicas)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
     return stacked, losses
@@ -1304,19 +1521,19 @@ def make_lr_evaluator(problem, key, iterations, batch_size=64, model=None,
             spec, model, flat, m, v, u, 0, lrate=lrate,
             precision=_PRECISIONS[precision], **common)
 
+    pack = _pack_fn(spec, model)
     memo_key = ("engev", problem, model, batch_size, iterations, precision,
                 schedule, decay, steps_per_cell)
     jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
         jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
-    flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
+    flat0 = pack(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
         jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
         label=f"engev-{problem.name}"))
 
     def eval_fn(trial_index: int, lrate: float):
-        flat = pack_params(model, jinit(jax.random.fold_in(init_key,
-                                                           trial_index)))
+        flat = pack(jinit(jax.random.fold_in(init_key, trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
                                    np.float32(lrate))
         return np.asarray(losses), p
@@ -1402,11 +1619,12 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
             runtime_bs=bs, runtime_steps=n_steps,
             trial_horizon=horizon == "trial")
 
+    pack = _pack_fn(spec, model)
     memo_key = ("engsw", problem, model, max_batch, max_iters, user_max,
                 precision, schedule, decay, horizon, steps_per_cell)
     jinit = _memo_compile(memo_key + ("init",), lambda: cached_compile(
         jax.jit(model.init), jax.random.fold_in(init_key, 0), label="init"))
-    flat0 = pack_params(model, jinit(jax.random.fold_in(init_key, 0)))
+    flat0 = pack(jinit(jax.random.fold_in(init_key, 0)))
     zeros = tuple(jnp.zeros_like(p) for p in flat0)
     compiled = _memo_compile(memo_key + ("kernel",), lambda: cached_compile(
         jax.jit(run), flat0, zeros, zeros, uniforms, np.float32(0.0),
@@ -1417,8 +1635,7 @@ def make_sweep_evaluator(problem, key, max_iters, max_batch=512, model=None,
                 n_iters: int):
         batch_size = max(1, min(int(batch_size), max_batch))
         n_iters = max(1, min(int(n_iters), user_max))
-        flat = pack_params(model, jinit(jax.random.fold_in(init_key,
-                                                           trial_index)))
+        flat = pack(jinit(jax.random.fold_in(init_key, trial_index)))
         p, _, _, losses = compiled(flat, zeros, zeros, uniforms,
                                    np.float32(lrate),
                                    np.int32(batch_size),
@@ -1460,6 +1677,8 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
     spec, model, schedule, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, max_batch, model,
                         precision, schedule)
+    pack = _pack_fn(spec, model)
+    n_tensors = len(_shapes_for(spec, model))
     pop_axis = "pop"
     if pop_axis not in mesh.shape:
         raise ValueError(
@@ -1491,15 +1710,15 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
             outs_p.append(p)
             finals.append(jnp.take(lo, ns[j] - 1))
         return (tuple(jnp.stack([o[k] for o in outs_p])
-                      for k in range(_N_TENSORS)),
+                      for k in range(n_tensors)),
                 jnp.stack(finals))
 
     pspec = PartitionSpec(pop_axis)
     sharded = jax.jit(jax.shard_map(
         run_local, mesh=mesh,
-        in_specs=(tuple(pspec for _ in range(_N_TENSORS)),
+        in_specs=(tuple(pspec for _ in range(n_tensors)),
                   pspec, pspec, pspec, PartitionSpec()),
-        out_specs=(tuple(pspec for _ in range(_N_TENSORS)), pspec),
+        out_specs=(tuple(pspec for _ in range(n_tensors)), pspec),
         check_vma=False))
 
     def eval_fn(trial_indices, lrates, batch_sizes, n_iters):
@@ -1509,7 +1728,7 @@ def make_sharded_rung_evaluator(problem, key, max_iters, mesh,
                              f"'{pop_axis}' axis ({n_shards} shards) — "
                              f"pad by repeating trials")
         stacked = _init_all(jnp.asarray(trial_indices))
-        flat = pack_params(model, stacked)
+        flat = pack(stacked)
         flat = tuple(jax.device_put(t, NamedSharding(mesh, pspec))
                      for t in flat)
         lrs = jnp.asarray(lrates, jnp.float32)
@@ -1558,17 +1777,15 @@ def make_packed_rung_evaluator(problem, key, max_iters, n_slots,
     spec, model, schedule, user_max, max_iters, init_key, uniforms = \
         _sweep_prologue(problem, key, max_iters, max_batch, model,
                         precision, schedule)
-    D, O = model.input_dim, model.output_dim
-    L, H = model.num_layers, model.hidden_size
-    shapes = [(D, H), (H,), (max(L, 1), H, H), (max(L, 1), H), (H, O), (O,)]
+    shapes = _shapes_for(spec, model)
+    pack = _pack_fn(spec, model)
 
     # The key rides as an ARGUMENT (a captured init_key would bake into
     # the lowered HLO, so every new sweep key would hash differently and
     # miss the AOT cache — measured 10-45 s of pure compile per evaluator
     # construction over the remote helper, 2026-08-19).
     def init_all(ik, ts):
-        flats = [pack_params(model,
-                             model.init(jax.random.fold_in(ik, ts[r])))
+        flats = [pack(model.init(jax.random.fold_in(ik, ts[r])))
                  for r in range(n_slots)]
         return stack_replicas(flats)
 
@@ -1652,8 +1869,9 @@ def lr_sweep(problem, key, lrates, iterations, batch_size=64, model=None,
         outs.append(p)
         finals.append(float(losses[-1]))
     stacked = tuple(jnp.stack([o[k] for o in outs])
-                    for k in range(_N_TENSORS))
-    return np.asarray(finals), unpack_params(model, stacked)
+                    for k in range(len(outs[0])))
+    spec = spec_for(problem)
+    return np.asarray(finals), _unpack_fn(spec, model)(stacked)
 
 
 def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
@@ -1684,7 +1902,8 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
 
     init_key, run_key = jax.random.split(key)
     stacked = jax.vmap(model.init)(jax.random.split(init_key, n_replicas))
-    flat = pack_params(model, stacked)  # tuple of [n_replicas, ...] tensors
+    n_tensors = len(_shapes_for(spec, model))
+    flat = _pack_fn(spec, model)(stacked)  # tuple of [n_replicas, ...]
 
     _draw_all = jax.jit(lambda k: jax.vmap(
         lambda i: jax.random.uniform(jax.random.fold_in(k, i),
@@ -1723,7 +1942,7 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
             outs_p.append(p)
             losses.append(lo)
         return (tuple(jnp.stack([o[k] for o in outs_p])
-                      for k in range(_N_TENSORS)),
+                      for k in range(n_tensors)),
                 jnp.stack(losses))
 
     if mesh is None:
@@ -1750,7 +1969,7 @@ def train_fused_ensemble(problem, key, iterations, n_replicas, mesh=None,
             out_specs=(tuple(pspec for _ in flat), pspec),
             check_vma=False))
     flat_out, losses = _timed_ensemble_run(run, flat, uniforms, timings)
-    return unpack_params(model, flat_out), np.asarray(losses)
+    return _unpack_fn(spec, model)(flat_out), np.asarray(losses)
 
 
 def _timed_ensemble_run(run, flat, uniforms, timings):
@@ -1788,7 +2007,7 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
     from differential_equations_dnn_tpu.train.trainer import TrainResult
 
     run_key, flat, m, v = fused_prologue(
-        model, functools.partial(pack_params, model), key, params, opt_state)
+        model, _pack_fn(spec, model), key, params, opt_state)
 
     n2 = iterations - n1
     common = dict(lrate=lrate, steps_per_cell=steps_per_cell,
@@ -1827,9 +2046,10 @@ def _train_mixed_single_dispatch(problem, spec, key, iterations, n1,
     losses = np.asarray(losses)
     jax.block_until_ready(flat)
     wall = time.perf_counter() - t0
+    unpack = _unpack_fn(spec, model)
     return TrainResult(
-        params=unpack_params(model, flat),
-        opt_state={"m": unpack_params(model, m), "v": unpack_params(model, v)},
+        params=unpack(flat),
+        opt_state={"m": unpack(m), "v": unpack(v)},
         loss_history=np.asarray(losses),
         wall_time=wall,
         iters_per_sec=iterations / wall if wall else float("inf"),

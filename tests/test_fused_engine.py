@@ -28,6 +28,19 @@ def _batch_from_uniforms(prob, u, B):
     z = jnp.zeros((B, 1))
     if name == "simple_ode":
         return {"t": prob.sample_scale * prob.t_max * u[:, :1], "t0": z}
+    if name == "uat":
+        # The spec's iota grid: a B-point linspace over [low, high].
+        x = jnp.linspace(prob.low, prob.high, B)[:, None]
+        return {"x": x, "y": jnp.sin(prob.freq * x)}
+    if name == "inverse_heat":
+        # Same observation minibatch as the spec's one-hot selection
+        # (floor(u3·n_obs)), so problem.loss sees identical points.
+        obs_x, obs_u = prob.observations()
+        idx = jnp.floor(u[:, 2] * prob.n_obs).astype(jnp.int32)
+        x = prob.x_max * u[:, :1]
+        t = prob.t_max * u[:, 1:2]
+        return {"xt": jnp.concatenate([x, t], 1),
+                "obs_x": obs_x[idx], "obs_u": obs_u[idx]}
     if name == "volterra":
         from differential_equations_dnn_tpu.ops import gauss_legendre_nodes
 
@@ -81,16 +94,19 @@ def test_step_math_matches_problem_loss_grad(name, key):
     spec = fe.spec_for(prob)
     model = prob.default_model()
     params = model.init(key)
-    flat = pack_params(model, params)
+    pack = fe._pack_fn(spec, model)  # spec-aware (Perceptron, net+κ wrapper)
+    flat = pack(params)
     u = jax.random.uniform(jax.random.fold_in(key, 1), (B, spec.n_uniform))
 
-    loss_e, grads_e = fe.engine_step_math(spec, flat, u, B, model.num_layers)
+    loss_e, grads_e = fe.engine_step_math(spec, flat, u, B,
+                                          fe._engine_dims(model)[2])
 
     batch = _batch_from_uniforms(prob, u, B)
     loss_r, grads_r = jax.value_and_grad(
         lambda p: prob.loss(model.apply, p, batch))(params)
     np.testing.assert_allclose(np.squeeze(loss_e), float(loss_r), rtol=1e-5)
-    for ge, gr in zip(grads_e, pack_params(model, grads_r)):
+    assert len(grads_e) == len(flat)  # extras (log κ̂) get gradients too
+    for ge, gr in zip(grads_e, pack(grads_r)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
                                    rtol=1e-4, atol=1e-6)
 
@@ -170,6 +186,82 @@ def test_resume_is_bit_identical(key):
                                   chunk_size=4, steps_per_cell=2,
                                   total_steps=8)
     second = fe.train_fused_result(prob, key, 4, batch_size=8, model=model,
+                                   params=first.params,
+                                   opt_state=first.opt_state, start_step=4,
+                                   chunk_size=4, steps_per_cell=2)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(second.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_volterra_const_layouts_agree(key):
+    """VolterraSpec's two const layouts — the host-precomputed selection
+    matrix (small tiles) and the coefficient row rebuilt from iotas
+    in-kernel (large sweep tiles) — must produce identical loss/grads."""
+    prob = PROBLEMS["volterra"]()
+    spec = fe.spec_for(prob)
+    model = prob.default_model()
+    flat = fe._pack_fn(spec, model)(model.init(key))
+    B = 12
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (B, spec.n_uniform))
+    cP = spec.make_const(B)
+    assert cP.shape[0] == B  # small tile: full matrix layout
+    old = fe.VolterraSpec.P_MAX_ELEMS
+    try:
+        fe.VolterraSpec.P_MAX_ELEMS = 0
+        cC = spec.make_const(B)
+    finally:
+        fe.VolterraSpec.P_MAX_ELEMS = old
+    assert cC.shape[0] == 1  # forced fallback: coefficient row
+    lP, gP = fe.engine_step_math(spec, flat, u, B, model.num_layers,
+                                 const=cP)
+    lC, gC = fe.engine_step_math(spec, flat, u, B, model.num_layers,
+                                 const=cC)
+    np.testing.assert_allclose(np.squeeze(lP), np.squeeze(lC), rtol=1e-6)
+    for a, b in zip(gP, gC):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_uat_fused_solve_converges(key):
+    """solve('uat', engine='fused'): the Perceptron trains via the L=0
+    engine layout (zeroed hidden tensors stay zero under Adam)."""
+    from differential_equations_dnn_tpu import solve
+
+    r = solve("uat", engine="fused", iterations=600, lrate=1e-2,
+              ensemble=0, finetune=0)
+    assert r.loss_history.shape == (600,)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    assert np.isfinite(r.mae)
+    # The hidden tensors the Perceptron layout zero-pads must stay exactly
+    # zero (their grads are structurally zero).
+    prob = PROBLEMS["uat"]()
+    spec = fe.spec_for(prob)
+    flat = fe._pack_fn(spec, prob.default_model())(r.params)
+    np.testing.assert_array_equal(np.asarray(flat[2]), 0.0)
+
+
+def test_inverse_heat_fused_trains_kappa(key):
+    """The learnable log κ̂ extra tensor gets real gradients in-kernel: a
+    short fused run moves κ̂ from the wrong init toward the true value."""
+    prob = PROBLEMS["inverse_heat"]()
+    r = fe.train_fused_result(prob, key, 400, batch_size=32, lrate=1e-2,
+                              chunk_size=400)
+    assert r.loss_history[-50:].mean() < r.loss_history[:50].mean()
+    err0 = abs(prob.kappa_init - prob.kappa_true)
+    assert prob.kappa_error(r.params) < 0.7 * err0
+    # log_kappa round-trips through pack/unpack as a scalar leaf.
+    assert np.shape(np.asarray(r.params["log_kappa"])) == ()
+
+
+def test_inverse_heat_fused_resume_bit_identical(key):
+    """Extras (log κ̂ + its Adam moments) must ride the resume path."""
+    prob = PROBLEMS["inverse_heat"]()
+    full = fe.train_fused_result(prob, key, 8, batch_size=8, chunk_size=8,
+                                 steps_per_cell=2)
+    first = fe.train_fused_result(prob, key, 4, batch_size=8, chunk_size=4,
+                                  steps_per_cell=2, total_steps=8)
+    second = fe.train_fused_result(prob, key, 4, batch_size=8,
                                    params=first.params,
                                    opt_state=first.opt_state, start_step=4,
                                    chunk_size=4, steps_per_cell=2)
